@@ -1,0 +1,34 @@
+"""TXT point-cloud reader/writer.
+
+Format identical to the reference's (``src/common.cpp:148-203``): first line
+is the point count, then one ``x y z`` line per point
+(e.g. ``data/bunny/model_bunny.txt``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_txt(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        first = f.readline()
+        try:
+            total = int(first.split()[0])
+        except (ValueError, IndexError):
+            raise ValueError(f"invalid TXT cloud header in {path!r}: {first!r}")
+        if total <= 0:
+            raise ValueError(f"invalid number of points in TXT file: {path}")
+        data = np.loadtxt(f, dtype=np.float32, max_rows=total, ndmin=2)
+    if data.shape[0] != total:
+        raise ValueError(
+            f"TXT file {path} declares {total} points but has {data.shape[0]}"
+        )
+    return data[:, :3].astype(np.float32)
+
+
+def write_txt(path: str, points: np.ndarray):
+    points = np.asarray(points, np.float32)
+    with open(path, "w") as f:
+        f.write(f"{points.shape[0]}\n")
+        np.savetxt(f, points, fmt="%.6f")

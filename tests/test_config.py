@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from goicp_tpu.core.config import Config, Mode
+
+REF_TEST = "/root/reference/test"
+
+
+@pytest.mark.parametrize(
+    "name,mode,subsample,mse,resize",
+    [
+        ("bunny_icp.toml", Mode.ICP_GPU, 1.0, 1e-5, 15.0),
+        ("bunny_goicp.toml", Mode.GOICP_CPU, 0.1, 1e-3, 1.0),
+        ("skull_goicp.toml", Mode.GOICP_GPU, 0.1, 1e-3, 0.01),
+        ("face_goicp.toml", Mode.GOICP_GPU, 0.1, 1e-3, 0.007),
+        ("spanner_goicp.toml", Mode.GOICP_GPU, 0.1, 1e-4, 0.02),
+    ],
+)
+def test_reference_tomls_parse(name, mode, subsample, mse, resize):
+    """All five reference scenario TOMLs must parse unchanged."""
+    cfg = Config.from_toml(f"{REF_TEST}/{name}")
+    assert cfg.mode == mode
+    assert cfg.subsample == subsample
+    assert cfg.mse_threshold == mse
+    assert cfg.resize == resize
+    assert cfg.trim is True  # all five set trim = true
+    assert cfg.io.output == "output.toml"
+
+
+def test_search_bounds_parsed():
+    """[params.rotation]/[params.translation] are dead config in the
+    reference (common.cpp:20-77 never reads them); here they are honored."""
+    cfg = Config.from_toml(f"{REF_TEST}/bunny_icp.toml")
+    assert cfg.rotation.xmin == -180
+    assert cfg.rotation.search_depth == 12
+    assert cfg.translation.span == 1.0
+    assert cfg.translation.center == (0.0, 0.0, 0.0)
+
+
+def test_path_resolution():
+    cfg = Config.from_toml(f"{REF_TEST}/bunny_goicp.toml")
+    p = cfg.resolve(cfg.io.target)
+    assert p == "/root/reference/data/bunny/model_bunny.txt"
+
+
+def test_tpu_section_defaults_and_override(tmp_path):
+    toml = tmp_path / "s.toml"
+    toml.write_text(
+        """
+[io]
+target = "t.ply"
+source = "s.ply"
+[params]
+mode = 4
+[tpu]
+grid_resolution = 128
+trans_batch = 32
+rotation_param = "axis_angle"
+"""
+    )
+    cfg = Config.from_toml(str(toml))
+    assert cfg.tpu.grid_resolution == 128
+    assert cfg.tpu.trans_batch == 32
+    assert cfg.tpu.rotation_param == "axis_angle"
+    assert cfg.tpu.lookup == "trilinear"  # default
+
+
+def test_effective_trim_fraction():
+    cfg = Config.from_dict({"params": {"trim": True, "trim_fraction": 0.2}})
+    assert cfg.effective_trim_fraction == 0.2
+    cfg = Config.from_dict({"params": {"trim": False, "trim_fraction": 0.2}})
+    assert cfg.effective_trim_fraction == 0.0
