@@ -1,0 +1,189 @@
+"""Jitted batched ICP — the local refiner of every solver mode.
+
+Reference counterparts, all of which refine **one** pose at a time with a
+host SVD round-trip per iteration:
+
+- per-frame steps ``ICP::CPUStep/naiveGPUStep/kdTreeGPUStep``
+  (``src/icp_kernel.cu:48-279``),
+- the GPU BnB's ``IterativeClosestPoint3D::run`` (``src/fgoicp/icp3d.cu:83-108``),
+- the CPU BnB's ``ICP3D<T>::Run`` (``src/goicp/jly_icp3d.hpp:181-297``).
+
+TPU-first inversion: one ``lax.while_loop`` refines a **batch** ``[B]`` of
+poses simultaneously (the BnB refines every promising cube in one device
+step, SURVEY §7.5); the Procrustes update is Horn's quaternion method
+(``goicp_tpu.geo.procrustes``) so no iteration ever leaves the device.
+Correspondences come from either the exact tiled brute-force NN
+(≙ ``kernFindNearestNeighbor``, ``icp3d.cu:13-30``) or the distance-grid
+index field (≙ the flattened k-d tree of ``icp_kernel.cu:281-377``, which the
+reference found slower than dense lookups on GPU — same conclusion holds
+harder on TPU).
+
+Trimming: per-pose ``top_k`` selection of the ``n*(1-trim)`` closest pairs
+(≙ the qsort at ``jly_icp3d.hpp:238`` / ``intro_select``), as 0/1 weights
+into the weighted Procrustes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from goicp_tpu.core.types import RigidTransform
+from goicp_tpu.geo.procrustes import procrustes
+from goicp_tpu.nn.brute import nearest_neighbor
+from goicp_tpu.nn.grid import DistanceGrid, lookup_index
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpParams:
+    """Static solver knobs (hashable: closed over at trace time)."""
+
+    max_iter: int = 128          # ref: 1000 initial / 500 refine (fgoicp.cpp:11,77)
+    rel_tol: float = 1e-3        # ref convergence_threshold (icp3d.cu:95)
+    trim_fraction: float = 0.0   # ref trimFraction (jly_icp3d.hpp:189-196)
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpResult:
+    transform: RigidTransform  # [B,3,3], [B,3]
+    sse: Any                   # [B]
+    iters: Any                 # [B] int32 iterations actually run
+
+
+jax.tree_util.register_pytree_node(
+    IcpResult,
+    lambda r: ((r.transform, r.sse, r.iters), None),
+    lambda _, c: IcpResult(*c),
+)
+
+
+def exact_correspondence(targets) -> Callable:
+    """Correspondence closure: exact brute-force NN against ``targets [Nt,3]``."""
+    targets = jnp.asarray(targets, jnp.float32)
+
+    def corr(pts):
+        d2, idx = nearest_neighbor(pts, targets)
+        return jnp.take(targets, idx, axis=0), d2
+
+    return corr
+
+
+def grid_correspondence(grid: DistanceGrid, targets) -> Callable:
+    """Correspondence closure: O(1) grid index lookup (needs ``with_index``)."""
+    targets = jnp.asarray(targets, jnp.float32)
+
+    def corr(pts):
+        idx = lookup_index(grid, pts)
+        dst = jnp.take(targets, idx, axis=0)
+        d = pts - dst
+        return dst, jnp.sum(d * d, axis=-1)
+
+    return corr
+
+
+def trim_weights(d2, trim_fraction: float):
+    """0/1 inlier weights keeping the ``n*(1-trim)`` closest pairs per pose.
+
+    ``d2``: ``[..., N]``.  The threshold is the k-th smallest distance
+    (``jly_icp3d.hpp:189-196,238`` keeps ``n(1-trim)`` closest).
+    """
+    n = d2.shape[-1]
+    k = max(1, int(round(n * (1.0 - trim_fraction))))
+    if k >= n:
+        return jnp.ones_like(d2)
+    kth = -jax.lax.top_k(-d2, k)[0][..., -1:]
+    w = (d2 <= kth).astype(d2.dtype)
+    # Ties at the threshold can admit >k points; harmless for LS weighting.
+    return w
+
+
+def sse_of_distances(d2, trim_fraction: float = 0.0):
+    """(Trimmed) SSE from per-point squared distances ``[..., N]``."""
+    if trim_fraction > 0.0:
+        w = trim_weights(d2, trim_fraction)
+        return jnp.sum(d2 * w, axis=-1)
+    return jnp.sum(d2, axis=-1)
+
+
+def run_icp(
+    src,
+    corr: Callable,
+    init: RigidTransform,
+    params: IcpParams = IcpParams(),
+) -> IcpResult:
+    """Refine a batch of poses with ICP until convergence or ``max_iter``.
+
+    ``src``: ``[N,3]`` source cloud; ``init``: batched ``[B]`` transforms;
+    ``corr(pts [...,N,3]) -> (dst [...,N,3], d2 [...,N])``.
+
+    Per-pose convergence: relative SSE improvement below ``rel_tol``
+    (≙ ``icp3d.cu:95``: ``last_sse - sse < tol * sse``); converged poses stop
+    updating (masked), the loop ends when all poses converge.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    batched = init.t.ndim > 1
+    T0 = init if batched else jax.tree.map(lambda x: x[None], init)
+    B = T0.t.shape[0]
+    tf = params.trim_fraction
+
+    def sse_at(T: RigidTransform):
+        pts = T.apply(src)
+        _, d2 = corr(pts)
+        return sse_of_distances(d2, tf)
+
+    def cond(state):
+        _, _, active, it, _ = state
+        return jnp.logical_and(jnp.any(active), it < params.max_iter)
+
+    def body(state):
+        T, sse, active, it, iters = state
+        pts = T.apply(src)  # [B,N,3]
+        dst, d2 = corr(pts)
+        w = trim_weights(d2, tf) if tf > 0.0 else None
+        R_d, t_d = procrustes(pts, dst, weights=w)
+        delta = RigidTransform(R_d, t_d)
+        T_new = delta.compose(T)  # ≙ icp3d.cu:99-100 update order
+        sse_new = sse_at(T_new)
+        improved = sse_new < sse
+        # accept only improving updates while active
+        take = jnp.logical_and(active, improved)
+        T = jax.tree.map(
+            lambda new, old: jnp.where(
+                take.reshape((B,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            T_new,
+            T,
+        )
+        # converged: relative improvement below tol (or no improvement)
+        still = jnp.logical_and(
+            active, sse - sse_new >= params.rel_tol * jnp.maximum(sse_new, 1e-30)
+        )
+        sse = jnp.where(take, sse_new, sse)
+        iters = iters + active.astype(jnp.int32)
+        return T, sse, still, it + 1, iters
+
+    sse0 = sse_at(T0)
+    state = (
+        T0,
+        sse0,
+        jnp.ones((B,), bool),
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+    T, sse, _, _, iters = jax.lax.while_loop(cond, body, state)
+    if not batched:
+        T = jax.tree.map(lambda x: x[0], T)
+        sse, iters = sse[0], iters[0]
+    return IcpResult(transform=T, sse=sse, iters=iters)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "backend")
+)
+def icp_exact(src, targets, init: RigidTransform, params: IcpParams = IcpParams(), backend: str = "exact"):
+    """Jit-wrapped exact-NN ICP (convenience entry for tests/CLI)."""
+    return run_icp(src, exact_correspondence(targets), init, params)
