@@ -1,0 +1,11 @@
+from goicp_tpu.bnb.bounds import BoundsEvaluator, lattice_slack
+from goicp_tpu.bnb.solver import BnbParams, GoIcpResult, GoIcpSolver, register
+
+__all__ = [
+    "BoundsEvaluator",
+    "lattice_slack",
+    "BnbParams",
+    "GoIcpResult",
+    "GoIcpSolver",
+    "register",
+]

@@ -1,0 +1,572 @@
+"""Go-ICP: globally-optimal registration by nested branch-and-bound.
+
+TPU-first reorganization of both reference solvers — ``FastGoICP``
+(``src/fgoicp/fgoicp.cpp:32-181``) and jly ``GoICP::OuterBnB/InnerBnB``
+(``src/goicp/jly_goicp.cpp:227-567``).  Structure inversion (SURVEY §7.6):
+
+- **device**: one jitted step evaluates a flat batch of (rotation, trans-cube)
+  jobs — hundreds of cubes per step instead of the reference's one node per
+  stream (``fgoicp.cpp:127`` pulls batches of size 1);
+- **host**: thin frontier loop — select, subdivide, prune.  The outer search
+  is best-first over rotation cubes (≙ both references' priority queues); the
+  inner translation search is breadth-first with pruning, batched across
+  *all* rotation candidates and *both* bound modes at once: the reference
+  runs ``branch_and_bound_R3(fix_rot=true)`` then ``(fix_rot=false)``
+  sequentially per cube (``fgoicp.cpp:72,93``); here the (cube × mode)
+  product is one job stream.
+- **ICP refinement** is itself batched: every candidate whose upper bound
+  beats ``refine_factor · best_sse`` (≙ the relaxed trigger ``ub < best*2``,
+  ``fgoicp.cpp:75``) is refined simultaneously by the batched ICP solver.
+
+Rotation search space: quaternion cube ``[-1,1]^3`` (fgoicp, ``common.h:40-60``)
+or axis-angle π-cube (jly, ``jly_goicp.cpp:44-48``), selected by config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from goicp_tpu.bnb.bounds import BoundsEvaluator
+from goicp_tpu.bnb.frontier import Frontier
+from goicp_tpu.core.logging import get_logger
+from goicp_tpu.core.metrics import Metrics
+from goicp_tpu.core.progress import ProgressBus, SolverState
+from goicp_tpu.core.types import RigidTransform
+from goicp_tpu.geo import rotation as rot
+from goicp_tpu.icp import IcpParams, grid_correspondence, run_icp
+from goicp_tpu.nn.grid import build_distance_grid, grid_domain
+
+_SQRT3 = math.sqrt(3.0)
+_OCTANTS = (
+    np.array([[(j >> a) & 1 for a in range(3)] for j in range(8)], np.float32) * 2.0
+    - 1.0
+)  # {-1,+1}^3
+
+
+# ---------------------------------------------------------------------------
+# rotation-space parametrization adapters
+# ---------------------------------------------------------------------------
+
+
+class QuatParam:
+    """FastGoICP's quaternion cube: root span 1.0 (``fgoicp.cpp:35``)."""
+
+    root_span = 1.0
+
+    @staticmethod
+    def rotation(centers):
+        return np.asarray(rot.quat_cube_rotation(jnp.asarray(centers, jnp.float32)))
+
+    @staticmethod
+    def max_angle(centers, spans):
+        return np.asarray(
+            rot.quat_cube_max_angle(
+                jnp.asarray(centers, jnp.float32), jnp.asarray(spans, jnp.float32)
+            )
+        )
+
+    @staticmethod
+    def valid(centers, spans):
+        return np.asarray(
+            rot.quat_cube_overlaps_SO3(
+                jnp.asarray(centers, jnp.float32), jnp.asarray(spans, jnp.float32)
+            )
+        )
+
+
+class AxisAngleParam:
+    """jly's axis-angle cube: root span π (``jly_goicp.cpp:44-48``)."""
+
+    root_span = math.pi
+
+    @staticmethod
+    def rotation(centers):
+        return np.asarray(rot.axis_angle_rotation(jnp.asarray(centers, jnp.float32)))
+
+    @staticmethod
+    def max_angle(centers, spans):
+        return np.asarray(
+            np.broadcast_to(
+                np.asarray(rot.axis_angle_max_angle(jnp.asarray(spans, jnp.float32))),
+                np.asarray(spans).shape,
+            )
+        )
+
+    @staticmethod
+    def valid(centers, spans):
+        return np.asarray(
+            rot.axis_angle_in_ball(
+                jnp.asarray(centers, jnp.float32), jnp.asarray(spans, jnp.float32)
+            )
+        )
+
+
+_PARAMS = {"quaternion": QuatParam, "axis_angle": AxisAngleParam}
+
+
+# ---------------------------------------------------------------------------
+# solver configuration / result
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BnbParams:
+    mse_threshold: float = 1e-3      # ≙ config mse_threshold (common.cpp:34)
+    trim_fraction: float = 0.0
+    rotation_param: str = "quaternion"
+    lookup: str = "trilinear"
+    grid_resolution: int = 256
+    grid_expand: float = 2.0
+    grid_method: str = "edt"         # "edt" (O(n^4), ≙ jly DT3D) | "brute"
+                                     # (exact, O(n^3·Nt), ≙ buildLUTKernel)
+    job_cap: int = 2048              # jobs per device step (ref: 1/stream)
+    rot_pop: int = 8                 # rot cubes popped per outer round (ref: 1)
+    min_rot_span: float = 0.05       # ≙ fgoicp.cpp:53 (0.1); × root span
+    min_trans_span: float = 0.06     # ≙ fgoicp.cpp:160 (0.12)
+    init_multistart: int = 64        # batched multi-start ICP seeds (ref: 1,
+                                     # identity only, fgoicp.cpp:11) — a TPU
+                                     # batching win; BnB still certifies
+    refine_top_k: int = 8            # always ICP-refine the k best-ub cands
+    trans_span: float = 0.5          # root translation half-side (jly_goicp.cpp:50-53)
+    trans_center: tuple = (0.0, 0.0, 0.0)
+    icp_refine_factor: float = 2.0   # ≙ fgoicp.cpp:75
+    icp_max_iter: int = 100
+    icp_rel_tol: float = 1e-4
+    icp_cap: int = 64                # max candidates refined per batched ICP
+    conservative: bool = True        # certify lbs against grid discretization
+    max_rounds: int = 10_000
+
+
+@dataclasses.dataclass
+class GoIcpResult:
+    transform: RigidTransform        # numpy R [3,3], t [3]
+    sse: float                       # final (trimmed) SSE, grid-verified
+    mse: float
+    converged: bool
+    gap: float                       # best_sse − global min lb at exit
+    rot_nodes: int
+    trans_nodes: int
+    icp_iters: int
+    rounds: int
+    wall_s: float
+    metrics: Metrics
+
+
+# ---------------------------------------------------------------------------
+# batched inner BnB over translation cubes
+# ---------------------------------------------------------------------------
+
+
+def _group_min_update(qidx, vals, t_centers, incumbent, best_t):
+    """Per-query incumbent update from a flat job batch (vectorized)."""
+    Q = incumbent.shape[0]
+    batch_best = np.full(Q, np.inf, np.float32)
+    np.minimum.at(batch_best, qidx, vals)
+    improved = batch_best < incumbent
+    if improved.any():
+        # argmin job per improved query
+        is_best = vals <= batch_best[qidx]
+        sel = np.flatnonzero(is_best)
+        uq, first = np.unique(qidx[sel], return_index=True)
+        job = sel[first]
+        take = improved[uq]
+        best_t[uq[take]] = t_centers[job[take]]
+        incumbent = np.minimum(incumbent, batch_best)
+    return incumbent, best_t
+
+
+def inner_bnb(
+    ev: BoundsEvaluator,
+    R_q: np.ndarray,        # [Q,3,3]
+    angle_q: np.ndarray,    # [Q]
+    flag_q: np.ndarray,     # [Q] 1.0 = subtract rotation uncertainty
+    p: BnbParams,
+    sse_thresh: float,
+    metrics: Metrics,
+    cap_q: Optional[np.ndarray] = None,  # [Q] external prune cap (global best)
+):
+    """Breadth-first translation BnB for ``Q`` queries simultaneously.
+
+    Returns ``(ub [Q], lb [Q], best_t [Q,3])`` where ``ub`` is the min
+    evaluated center objective (≙ ``optErrorT``, ``jly_goicp.cpp:247``) and
+    ``lb`` the certified min over the leaf cover — valid even though nodes
+    within ``sse_thresh`` of the incumbent are ε-pruned
+    (≙ ``jly_goicp.cpp:318-321``).
+
+    ``cap_q`` prunes against knowledge *outside* the query (the global
+    incumbent): a node with ``lb ≥ cap_q − sse_thresh`` cannot influence any
+    outer decision, so the query's result saturates at ``cap_q`` — the same
+    effect as fgoicp seeding the inner search with the global ``best_sse``.
+    """
+    Q = R_q.shape[0]
+    incumbent = np.full(Q, np.inf, np.float32)
+    cap_q = (
+        np.full(Q, np.inf, np.float32)
+        if cap_q is None
+        else np.asarray(cap_q, np.float32)
+    )
+    best_t = np.tile(np.asarray(p.trans_center, np.float32), (Q, 1))
+    lb_leaf = np.full(Q, np.inf, np.float32)
+
+    qidx = np.arange(Q, dtype=np.int32)
+    centers = np.tile(np.asarray(p.trans_center, np.float32), (Q, 1))
+    spans = np.full(Q, p.trans_span, np.float32)
+
+    while qidx.size:
+        M = qidx.size
+        cv = np.empty(M, np.float32)
+        lb = np.empty(M, np.float32)
+        for s in range(0, M, p.job_cap):
+            e = min(s + p.job_cap, M)
+            m = e - s
+            pad = p.job_cap - m
+            idx = qidx[s:e]
+            cv_c, lb_c = ev.evaluate(
+                np.concatenate([R_q[idx], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]),
+                np.concatenate([angle_q[idx], np.zeros(pad, np.float32)]),
+                np.concatenate([centers[s:e], np.zeros((pad, 3), np.float32)]),
+                np.concatenate([spans[s:e], np.zeros(pad, np.float32)]),
+                np.concatenate([flag_q[idx], np.zeros(pad, np.float32)]),
+                np.concatenate([np.ones(m, bool), np.zeros(pad, bool)]),
+            )
+            cv[s:e], lb[s:e] = cv_c[:m], lb_c[:m]
+        metrics.count("trans_nodes", M)
+
+        incumbent, best_t = _group_min_update(qidx, cv, centers, incumbent, best_t)
+
+        # ε-prune: node can't improve the incumbent (or the external cap) by
+        # more than the convergence threshold (jly InnerBnB stop rule)
+        limit = np.minimum(incumbent, cap_q)
+        alive = lb < limit[qidx] - sse_thresh
+        # ε-pruned leaves fold into the certified lower bound
+        eps_pruned = (~alive) & (lb < incumbent[qidx])
+        if eps_pruned.any():
+            np.minimum.at(lb_leaf, qidx[eps_pruned], lb[eps_pruned])
+        # span floor: evaluated but not subdivided → leaf
+        at_floor = alive & (spans / 2.0 < p.min_trans_span)
+        if at_floor.any():
+            np.minimum.at(lb_leaf, qidx[at_floor], lb[at_floor])
+        expand = alive & ~at_floor
+        if not expand.any():
+            break
+        # 8-way subdivision (≙ fgoicp.cpp:160-173)
+        ec, es, eq = centers[expand], spans[expand], qidx[expand]
+        half = (es / 2.0)[:, None]
+        centers = (ec[:, None, :] + _OCTANTS[None] * half[:, None, :]).reshape(-1, 3)
+        spans = np.repeat(es / 2.0, 8)
+        qidx = np.repeat(eq, 8)
+
+    lb_total = np.minimum(incumbent, lb_leaf)
+    return incumbent, lb_total, best_t
+
+
+# ---------------------------------------------------------------------------
+# outer BnB
+# ---------------------------------------------------------------------------
+
+
+class GoIcpSolver:
+    """Globally-optimal registration of ``src`` onto ``tgt``.
+
+    ≙ ``FastGoICP`` (``fgoicp.hpp:12-70``): owns the distance field, the
+    bound evaluator, and the batched ICP refiner; ``run()`` is the solve.
+    """
+
+    def __init__(
+        self,
+        src: np.ndarray,
+        tgt: np.ndarray,
+        params: BnbParams = BnbParams(),
+        progress: Optional[ProgressBus] = None,
+    ):
+        self.src = np.asarray(src, np.float32)
+        self.tgt = np.asarray(tgt, np.float32)
+        self.p = params
+        self.progress = progress or ProgressBus()
+        self.metrics = Metrics()
+        self.log = get_logger()
+
+        # grid domain must cover every possible query R p + t
+        src_radius = float(np.linalg.norm(self.src, axis=1).max())
+        reach = src_radius + _SQRT3 * params.trans_span + float(
+            np.linalg.norm(np.asarray(params.trans_center))
+        )
+        cover = _OCTANTS * reach
+        with self.metrics.phase("grid_build"):
+            self.grid = build_distance_grid(
+                self.tgt,
+                n=params.grid_resolution,
+                expand=params.grid_expand,
+                cover=cover,
+                method=params.grid_method,
+                with_index=True,
+            )
+            jax.block_until_ready(self.grid.values)
+        self.ev = BoundsEvaluator(
+            self.src,
+            self.grid,
+            trim_fraction=params.trim_fraction,
+            lookup=params.lookup,
+            conservative=params.conservative,
+        )
+        self.rotparam = _PARAMS[params.rotation_param]
+        # SSEThresh = MSEThresh * inlierNum (jly_goicp.cpp:199-208)
+        self.sse_thresh = params.mse_threshold * self.ev.h
+        self._icp_params = IcpParams(
+            max_iter=params.icp_max_iter,
+            rel_tol=params.icp_rel_tol,
+            trim_fraction=params.trim_fraction,
+        )
+        self._icp_corr = grid_correspondence(self.grid, jnp.asarray(self.tgt))
+        self._icp_fn = jax.jit(
+            lambda R, t: run_icp(
+                jnp.asarray(self.src),
+                self._icp_corr,
+                RigidTransform(R, t),
+                self._icp_params,
+            )
+        )
+
+    # -- batched ICP refinement (pad to icp_cap for a stable jit cache) ----
+
+    def _refine(self, R: np.ndarray, t: np.ndarray):
+        B = R.shape[0]
+        cap = self.p.icp_cap
+        outs = []
+        for s in range(0, B, cap):
+            e = min(s + cap, B)
+            pad = cap - (e - s)
+            Rb = np.concatenate([R[s:e], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
+            tb = np.concatenate([t[s:e], np.zeros((pad, 3), np.float32)])
+            res = self._icp_fn(jnp.asarray(Rb), jnp.asarray(tb))
+            outs.append(
+                (
+                    np.asarray(res.transform.R)[: e - s],
+                    np.asarray(res.transform.t)[: e - s],
+                    np.asarray(res.sse)[: e - s],
+                    np.asarray(res.iters)[: e - s],
+                )
+            )
+        Rs = np.concatenate([o[0] for o in outs])
+        ts = np.concatenate([o[1] for o in outs])
+        sses = np.concatenate([o[2] for o in outs])
+        iters = np.concatenate([o[3] for o in outs])
+        return Rs, ts, sses, iters
+
+    # -- the solve ---------------------------------------------------------
+
+    def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
+        p, m = self.p, self.metrics
+        t_start = time.perf_counter()
+        best_R = np.eye(3, dtype=np.float32)
+        best_t = np.zeros(3, np.float32)
+        best_sse = float("inf")
+
+        # initial ICP (≙ fgoicp.cpp:11-18) — batched multi-start: identity +
+        # deterministic random rotations with centroid-matching translations.
+        # The reference starts from identity only; a batch of B starts costs
+        # one device step here and usually lands in the global basin, which
+        # the BnB then certifies (and prunes against) instead of discovers.
+        with m.phase("icp"):
+            seeds = [np.eye(3, dtype=np.float32)]
+            if init is not None:
+                seeds.append(np.asarray(init.R, np.float32))
+            k = max(0, p.init_multistart - len(seeds))
+            if k:
+                srng = np.random.default_rng(12345)
+                A = srng.normal(size=(k, 3, 3))
+                Q, Rr = np.linalg.qr(A)
+                Q = Q * np.sign(
+                    np.einsum("bii->bi", Rr)
+                )[:, None, :]
+                det = np.linalg.det(Q)
+                Q[det < 0, :, 0] *= -1.0
+                seeds.append(Q.astype(np.float32))
+            R0 = np.concatenate([s.reshape(-1, 3, 3) for s in seeds])
+            mu_s, mu_t = self.src.mean(0), self.tgt.mean(0)
+            t0 = mu_t[None, :] - np.einsum("bij,j->bi", R0, mu_s)
+            if init is not None:
+                t0[1] = np.asarray(init.t, np.float32)
+            t0[0] = 0.0  # keep the reference's identity start exact
+            Rs, ts, sses, iters = self._refine(R0, t0.astype(np.float32))
+            m.count("icp_iters", int(iters.sum()))
+            j = int(np.argmin(sses))
+            best_R, best_t, best_sse = Rs[j], ts[j], float(sses[j])
+        self.log.info(
+            "Initial ICP: sse=%.6g mse=%.6g", best_sse, best_sse / self.ev.h
+        )
+
+        frontier = Frontier()
+        frontier.push(np.zeros((1, 3)), [self.rotparam.root_span], [0.0], [np.inf])
+        rot_lb_leaf = float("inf")
+        rounds = 0
+        converged = best_sse <= self.sse_thresh  # ≙ fgoicp.cpp:21-24
+
+        with m.phase("bnb"):
+            while (
+                not converged
+                and len(frontier)
+                and rounds < p.max_rounds
+            ):
+                gap_lb = min(frontier.min_lb(), rot_lb_leaf)
+                if best_sse - gap_lb <= self.sse_thresh:  # ≙ fgoicp.cpp:44-47
+                    converged = True
+                    break
+                rounds += 1
+                cen, spn, _, _ = frontier.pop_best(p.rot_pop)
+                # 8-way children (≙ fgoicp.cpp:53-60)
+                half = (spn / 2.0)[:, None]
+                ccen = (cen[:, None, :] + _OCTANTS[None] * half[:, None, :]).reshape(-1, 3)
+                cspn = np.repeat(spn / 2.0, 8)
+                ok = self.rotparam.valid(ccen, cspn)
+                ccen, cspn = ccen[ok], cspn[ok]
+                C = ccen.shape[0]
+                if C == 0:
+                    continue
+                m.count("rot_nodes", C)
+                R_c = self.rotparam.rotation(ccen)
+                ang_c = self.rotparam.max_angle(ccen, cspn)
+
+                # joint inner BnB: C ub-queries (flag 0) + C lb-queries (flag 1)
+                R_q = np.concatenate([R_c, R_c])
+                ang_q = np.concatenate([np.zeros(C, np.float32), ang_c.astype(np.float32)])
+                flag_q = np.concatenate([np.zeros(C, np.float32), np.ones(C, np.float32)])
+                # external caps: ub queries only matter below the ICP trigger
+                # (refine_factor·best); lb queries only below the incumbent
+                cap_q = np.concatenate(
+                    [
+                        np.full(C, p.icp_refine_factor * best_sse, np.float32),
+                        np.full(C, best_sse, np.float32),
+                    ]
+                )
+                ub_q, lb_q, t_q = inner_bnb(
+                    self.ev, R_q, ang_q, flag_q, p, self.sse_thresh, m, cap_q
+                )
+                ub_c, t_ub = ub_q[:C], t_q[:C]
+                lb_c = lb_q[C:]
+
+                # ICP-refine all promising candidates in one batch
+                # (≙ relaxed trigger, fgoicp.cpp:75) — plus, always, the
+                # top-k best-ub candidates of the round: early on no cube
+                # clears the trigger, yet refining the best few is nearly
+                # free in a batched ICP step and finds incumbents fast
+                promising = ub_c < p.icp_refine_factor * best_sse
+                if p.refine_top_k and C > 0:
+                    k = min(p.refine_top_k, C)
+                    top = np.argpartition(ub_c, k - 1)[:k]
+                    promising = promising.copy()
+                    promising[top[np.isfinite(ub_c[top])]] = True
+                if promising.any():
+                    with m.phase("icp"):
+                        Rs, ts, sses, iters = self._refine(
+                            R_c[promising], t_ub[promising]
+                        )
+                    m.count("icp_iters", int(iters.sum()))
+                    j = int(np.argmin(sses))
+                    if float(sses[j]) < best_sse:
+                        best_sse = float(sses[j])
+                        best_R, best_t = Rs[j], ts[j]
+                        dropped = frontier.prune(best_sse)
+                        self.log.info(
+                            "round %d: new best sse=%.6g (mse=%.6g), pruned %d cubes",
+                            rounds,
+                            best_sse,
+                            best_sse / self.ev.h,
+                            dropped,
+                        )
+                # direct incumbent update from bound evaluation
+                j = int(np.argmin(ub_c))
+                if float(ub_c[j]) < best_sse:
+                    best_sse = float(ub_c[j])
+                    best_R, best_t = R_c[j], t_ub[j]
+                    frontier.prune(best_sse)
+
+                # push surviving children (≙ fgoicp.cpp:97-101)
+                alive = lb_c < best_sse - self.sse_thresh
+                rot_floor = p.min_rot_span * self.rotparam.root_span
+                at_floor = alive & (cspn / 2.0 < rot_floor)
+                if at_floor.any():
+                    rot_lb_leaf = min(rot_lb_leaf, float(lb_c[at_floor].min()))
+                keep = alive & ~at_floor
+                if keep.any():
+                    frontier.push(ccen[keep], cspn[keep], lb_c[keep], ub_c[keep])
+
+                if best_sse <= self.sse_thresh:
+                    converged = True
+
+                self.progress.publish(
+                    SolverState(
+                        opt_R=best_R,
+                        opt_t=best_t,
+                        cur_R=R_c[0],
+                        cur_t=t_ub[0],
+                        best_sse=best_sse,
+                        gap=best_sse - min(frontier.min_lb(), rot_lb_leaf),
+                        finished=False,
+                        rot_nodes=int(m.counters["rot_nodes"]),
+                        trans_nodes=int(m.counters["trans_nodes"]),
+                        round=rounds,
+                    )
+                )
+
+        if not len(frontier) and not converged:
+            # frontier exhausted ⇒ search space fully covered to the span
+            # floor: optimal within the floor resolution
+            converged = True
+
+        gap = best_sse - min(frontier.min_lb(), rot_lb_leaf)
+        wall = time.perf_counter() - t_start
+        result = GoIcpResult(
+            transform=RigidTransform(best_R, best_t),
+            sse=best_sse,
+            mse=best_sse / self.ev.h,
+            converged=converged,
+            gap=float(max(gap, 0.0)) if math.isfinite(gap) else 0.0,
+            rot_nodes=int(self.metrics.counters["rot_nodes"]),
+            trans_nodes=int(self.metrics.counters["trans_nodes"]),
+            icp_iters=int(self.metrics.counters["icp_iters"]),
+            rounds=rounds,
+            wall_s=wall,
+            metrics=self.metrics,
+        )
+        self.progress.publish(
+            SolverState(
+                opt_R=best_R,
+                opt_t=best_t,
+                cur_R=best_R,
+                cur_t=best_t,
+                best_sse=best_sse,
+                gap=result.gap,
+                finished=True,
+                rot_nodes=result.rot_nodes,
+                trans_nodes=result.trans_nodes,
+                round=rounds,
+            )
+        )
+        self.log.info(
+            "Go-ICP done: sse=%.6g mse=%.6g rounds=%d rot_nodes=%d trans_nodes=%d wall=%.2fs",
+            result.sse,
+            result.mse,
+            rounds,
+            result.rot_nodes,
+            result.trans_nodes,
+            wall,
+        )
+        return result
+
+
+def register(
+    src,
+    tgt,
+    params: BnbParams = BnbParams(),
+    progress: Optional[ProgressBus] = None,
+) -> GoIcpResult:
+    """One-call globally-optimal registration (≙ ``FastGoICP::run``)."""
+    return GoIcpSolver(src, tgt, params, progress).run()

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -45,12 +46,15 @@ class DistanceGrid:
     ``origin + (idx + 0.5) * cell``.  Optionally carries ``indices`` — the
     nearest target-point index per cell (for grid-accelerated ICP
     correspondences, replacing the flattened k-d tree of
-    ``src/icp_kernel.cu:281-377``)."""
+    ``src/icp_kernel.cu:281-377``).  ``raster_err``: worst-case distance
+    between the field's effective target set and the true targets (0 for the
+    exact brute build; half the cell diagonal for the rasterized EDT build)."""
 
     values: Any      # [n, n, n] f32 squared distances
     origin: Any      # [3]
     cell: Any        # scalar
     indices: Any = None  # [n, n, n] int32 or None
+    raster_err: float = 0.0
 
     @property
     def n(self) -> int:
@@ -59,8 +63,8 @@ class DistanceGrid:
 
 jax.tree_util.register_pytree_node(
     DistanceGrid,
-    lambda g: ((g.values, g.origin, g.cell, g.indices), None),
-    lambda _, c: DistanceGrid(*c),
+    lambda g: ((g.values, g.origin, g.cell, g.indices), (g.raster_err,)),
+    lambda aux, c: DistanceGrid(*c, raster_err=aux[0]),
 )
 
 
@@ -117,19 +121,44 @@ def _build_brute(targets, origin, cell, n: int, with_index: bool, slab: int = 4)
     return values, (indices if with_index else None)
 
 
-def _minplus_axis(D, c2, axis: int):
-    """Tropical transform along ``axis``: D'[i] = min_j D[j] + c2*(i-j)^2."""
+def _pick_chunk(n: int, want: int = 16) -> int:
+    for c in range(min(want, n), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
+def _minplus_axis(D, I, c2, axis: int, chunk: Optional[int] = None):
+    """Tropical (min-plus) transform along ``axis``:
+    ``D'[i] = min_j D[j] + c2*(i-j)^2``, with argmin payload carry ``I``.
+
+    Tiled over output columns: each ``lax.scan`` step produces ``chunk``
+    output planes from the full input — pure VPU adds/mins over
+    VMEM-resident tiles, no gathers, no MXU dependency.
+    """
     n = D.shape[axis]
+    if chunk is None:
+        chunk = _pick_chunk(n)
     D = jnp.moveaxis(D, axis, -1)  # [..., n]
-    i = jnp.arange(n, dtype=D.dtype)
-    C = c2 * (i[:, None] - i[None, :]) ** 2  # [j, i]
+    I = jnp.moveaxis(I, axis, -1)
+    j = jnp.arange(n, dtype=D.dtype)
 
-    def body(best, j):
-        return jnp.minimum(best, D[..., j, None] + C[j, :]), None
+    def body(_, i0):
+        i = i0 * chunk + jnp.arange(chunk, dtype=D.dtype)  # output columns
+        C = c2 * (j[:, None] - i[None, :]) ** 2            # [n, chunk]
+        cand = D[..., :, None] + C                          # [..., n, chunk]
+        amin = jnp.argmin(cand, axis=-2)                    # [..., chunk]
+        best = jnp.min(cand, axis=-2)
+        bidx = jnp.take_along_axis(I, amin, axis=-1)
+        return None, (best, bidx)
 
-    init = jnp.full_like(D, jnp.inf)
-    best, _ = jax.lax.scan(body, init, jnp.arange(n))
-    return jnp.moveaxis(best, -1, axis)
+    _, (best, bidx) = jax.lax.scan(
+        body, None, jnp.arange(n // chunk, dtype=D.dtype)
+    )
+    # scan stacks on axis 0: [n//chunk, ..., chunk] → [..., n]
+    best = jnp.moveaxis(best, 0, -2).reshape(*D.shape[:-1], n)
+    bidx = jnp.moveaxis(bidx, 0, -2).reshape(*D.shape[:-1], n)
+    return jnp.moveaxis(best, -1, axis), jnp.moveaxis(bidx, -1, axis)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -138,9 +167,13 @@ def _build_edt(targets, origin, cell, n: int):
 
     Targets rasterize to occupied cells (like ``jly_3ddt.cpp:911-923``); three
     min-plus passes then give the *exact* squared EDT to the occupied cell
-    centers.  Accuracy vs. true points: half the cell diagonal (the same
-    accuracy class the reference notes at ``jly_3ddt.cpp:925``), vs. exact
-    for ``method="brute"``.
+    centers — the Felzenszwalb/Huttenlocher decomposition of what jly's
+    2-sweep vector DT approximates.  Cost O(n^4) independent of target count
+    (the brute build is O(n^3·Nt): hopeless for big clouds, and its K=3
+    matmuls can't feed the MXU).  Accuracy vs. true points: half the cell
+    diagonal (the accuracy class the reference notes at ``jly_3ddt.cpp:925``),
+    recorded as ``raster_err`` so bound evaluation can stay conservative.
+    Also returns per-cell nearest-target indices (payload-carried argmin).
     """
     idx = jnp.clip(
         jnp.floor((targets - origin[None, :]) / cell).astype(jnp.int32), 0, n - 1
@@ -148,11 +181,14 @@ def _build_edt(targets, origin, cell, n: int):
     flat = (idx[:, 0] * n + idx[:, 1]) * n + idx[:, 2]
     occ = jnp.full((n * n * n,), jnp.inf, jnp.float32)
     occ = occ.at[flat].set(0.0)
+    pid = jnp.zeros((n * n * n,), jnp.int32)
+    pid = pid.at[flat].set(jnp.arange(targets.shape[0], dtype=jnp.int32))
     D = occ.reshape(n, n, n)
+    I = pid.reshape(n, n, n)
     c2 = cell * cell
     for ax in range(3):
-        D = _minplus_axis(D, c2, ax)
-    return D
+        D, I = _minplus_axis(D, I, c2, ax)
+    return D, I
 
 
 def build_distance_grid(
@@ -171,17 +207,24 @@ def build_distance_grid(
     origin, side = domain
     cell = jnp.float32(side / n)
     origin = jnp.asarray(origin, jnp.float32)
+    raster_err = 0.0
     if method == "brute":
         slab = 4 if n % 4 == 0 else 1
         values, indices = _build_brute(targets, origin, cell, n, with_index, slab)
     elif method == "edt":
-        values = _build_edt(targets, origin, cell, n)
-        indices = None
-        if with_index:
-            raise ValueError("with_index requires method='brute'")
+        values, indices = _build_edt(targets, origin, cell, n)
+        raster_err = float(cell) * math.sqrt(3.0) / 2.0
+        if not with_index:
+            indices = None
     else:
         raise ValueError(f"unknown grid build method {method!r}")
-    return DistanceGrid(values=values, origin=origin, cell=cell, indices=indices)
+    return DistanceGrid(
+        values=values,
+        origin=origin,
+        cell=cell,
+        indices=indices,
+        raster_err=raster_err,
+    )
 
 
 def _clamped_cell_coords(grid: DistanceGrid, queries):
