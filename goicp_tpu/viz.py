@@ -1,0 +1,71 @@
+"""Visualization artifacts — the TPU replacement for the OpenGL window.
+
+The reference renders model=blue, data=red, in-progress=white point clouds
+live (``src/kernel.cu:114-118``, ``src/window.cpp:182-227``).  A TPU run is
+headless; the same information is written as colored PLY snapshots that any
+viewer (MeshLab/CloudCompare/Open3D) displays, plus an optional pose
+trajectory recorded from solver progress snapshots.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from goicp_tpu.core.progress import ProgressBus, SolverState
+from goicp_tpu.io.ply import write_ply
+
+# ≙ the reference's color assignment (kernel.cu:114-118)
+COLOR_MODEL = np.array([64, 96, 255], np.uint8)    # target / model: blue
+COLOR_DATA = np.array([255, 64, 64], np.uint8)     # registered source: red
+COLOR_CURRENT = np.array([240, 240, 240], np.uint8)  # in-progress pose: white
+
+
+def write_registration_ply(
+    path: str,
+    target: np.ndarray,
+    source: np.ndarray,
+    R: np.ndarray,
+    t: np.ndarray,
+    cur_R: Optional[np.ndarray] = None,
+    cur_t: Optional[np.ndarray] = None,
+):
+    """Write target + transformed source (+ optional in-progress pose)."""
+    target = np.asarray(target, np.float32)
+    source = np.asarray(source, np.float32)
+    moved = source @ np.asarray(R, np.float32).T + np.asarray(t, np.float32)
+    clouds = [target, moved]
+    colors = [
+        np.tile(COLOR_MODEL, (target.shape[0], 1)),
+        np.tile(COLOR_DATA, (moved.shape[0], 1)),
+    ]
+    if cur_R is not None:
+        cur = source @ np.asarray(cur_R, np.float32).T + np.asarray(
+            cur_t, np.float32
+        )
+        clouds.append(cur)
+        colors.append(np.tile(COLOR_CURRENT, (cur.shape[0], 1)))
+    write_ply(
+        path,
+        np.concatenate(clouds),
+        np.concatenate(colors),
+        comment="goicp_tpu registration (blue=model red=data white=current)",
+    )
+
+
+class TrajectoryRecorder:
+    """Subscribes to solver progress; keeps the pose/error trajectory
+    (the headless counterpart of watching the white cloud converge)."""
+
+    def __init__(self, bus: ProgressBus):
+        self.states: list[SolverState] = []
+        bus.subscribe(self.states.append)
+
+    def dump_csv(self, path: str):
+        with open(path, "w") as f:
+            f.write("round,best_sse,gap,rot_nodes,trans_nodes\n")
+            for s in self.states:
+                f.write(
+                    f"{s.round},{s.best_sse!r},{s.gap!r},{s.rot_nodes},{s.trans_nodes}\n"
+                )

@@ -1,0 +1,109 @@
+"""End-to-end scenario runs through the CLI (integration fixtures, SURVEY §4)."""
+
+import os
+import tomllib
+
+import numpy as np
+import pytest
+
+from goicp_tpu.cli import run_scenario
+from goicp_tpu.io.ply import read_ply, write_ply
+from goicp_tpu.io.txt import write_txt
+from tests.conftest import random_rotation
+
+
+@pytest.fixture
+def synth_scenario(tmp_path, rng):
+    """Tiny synthetic scene with known ground truth, written as TOML+data."""
+    src = (rng.random((300, 3)).astype(np.float32) - 0.5) * 0.6
+    R = random_rotation(rng)
+    t = np.array([0.1, -0.08, 0.12], np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    write_txt(tmp_path / "source.txt", src)
+    write_ply(tmp_path / "target.ply", tgt)
+
+    def write_cfg(mode, extra=""):
+        cfg = tmp_path / f"scene_m{mode}.toml"
+        cfg.write_text(
+            f"""
+[io]
+target = "target.ply"
+source = "source.txt"
+output = "output.toml"
+visualization = "viz.ply"
+
+[params]
+mode = {mode}
+subsample = 1.0
+mse_threshold = 1e-5
+resize = 1.0
+
+[params.translation]
+xmin = -0.5
+xmax = 0.5
+ymin = -0.5
+ymax = 0.5
+zmin = -0.5
+zmax = 0.5
+
+[tpu]
+grid_resolution = 64
+{extra}
+"""
+        )
+        return cfg, (R, t, src, tgt)
+
+    return write_cfg
+
+
+def _check(out, R, t, src, tgt, tol=5e-3):
+    pts = src @ out["R"].T + out["t"]
+    rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
+    assert rmse < tol, rmse
+
+
+@pytest.mark.parametrize("mode", [4, 3])
+def test_cli_goicp_modes(synth_scenario, tmp_path, mode):
+    cfg, (R, t, src, tgt) = synth_scenario(mode)
+    out = run_scenario(str(cfg), output_dir=str(tmp_path / "out"))
+    assert out["converged"]
+    _check(out, R, t, src, tgt)
+    # artifacts: result TOML parses, viz PLY re-reads with matching count
+    with open(out["output_toml"], "rb") as f:
+        doc = tomllib.load(f)
+    assert doc["mode"] == mode
+    assert np.allclose(np.array(doc["result"]["rotation"]), out["R"], atol=1e-5)
+    viz = read_ply(out["viz_ply"])
+    assert viz.shape[0] == src.shape[0] + tgt.shape[0]
+
+
+def test_cli_icp_mode_small_pose(tmp_path, rng):
+    """Modes 0/1/2 are local ICP: use a small perturbation."""
+    src = (rng.random((300, 3)).astype(np.float32) - 0.5) * 0.6
+    from goicp_tpu.geo.rotation import axis_angle_rotation
+    import jax.numpy as jnp
+
+    v = np.array([0.05, -0.1, 0.08], np.float32)
+    R = np.asarray(axis_angle_rotation(jnp.asarray(v)))
+    t = np.array([0.02, 0.01, -0.03], np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    write_txt(tmp_path / "source.txt", src)
+    write_ply(tmp_path / "target.ply", tgt)
+    for mode in (0, 1, 2):
+        cfg = tmp_path / f"icp_m{mode}.toml"
+        cfg.write_text(
+            f"""
+[io]
+target = "target.ply"
+source = "source.txt"
+
+[params]
+mode = {mode}
+mse_threshold = 1e-6
+
+[tpu]
+grid_resolution = 64
+"""
+        )
+        out = run_scenario(str(cfg), output_dir=str(tmp_path / f"out{mode}"))
+        _check(out, R, t, src, tgt, tol=1e-2 if mode == 2 else 5e-3)
