@@ -78,13 +78,54 @@ def _trimmed_row_sum(x, h: int):
     return jnp.sum(best, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "lookup"))
+def bounds_step(
+    src, norms, grid, slack, R, max_angle, t_center, t_span, rot_flag, mask,
+    *, h: int, lookup: str,
+):
+    """The fused device step.  All job inputs ``[M,...]``; returns
+    ``(center_val, node_lb) [M]``.
+
+    ``center_val``: objective evaluated at the cube center — the plain SSE
+    when ``rot_flag=0`` (an *upper* bound path, uses ``d_hi``), or the
+    rotation-deflated SSE when ``rot_flag=1`` (a *lower* bound path, uses
+    ``d_lo``).  ``node_lb``: additionally deflated by the translation radius
+    ``√3·span`` — the cube's lower bound (≙ ``registration.cu:48-56``).
+
+    Module-level jit with traced ``(src, grid, slack)``: solver instances for
+    same-shaped problems share one compiled executable (the reference pays a
+    cudaMalloc/cudaFree + kernel launch per call, ``registration.cu:97-148``).
+    """
+    pts = (
+        jnp.einsum("mij,nj->mni", R, src, precision=_PREC)
+        + t_center[:, None, :]
+    )  # [M,N,3]
+    if lookup == "trilinear":
+        val, esc = lookup_sq_trilinear(grid, pts)
+    else:
+        val, esc = lookup_sq_nearest(grid, pts)
+    d = jnp.sqrt(jnp.maximum(val, 0.0))
+    d_lo = jnp.maximum(d - esc - slack, 0.0)       # ≤ true distance
+    d_hi = d + esc + slack                          # ≥ true distance
+    gamma_r = rotation_displacement(max_angle, norms) * rot_flag[:, None]
+    gamma_t = (_SQRT3 * t_span)[:, None]
+
+    center_d = jnp.where(rot_flag[:, None] > 0, d_lo, d_hi)
+    center_c = jnp.maximum(center_d - gamma_r, 0.0) ** 2
+    lb_c = jnp.maximum(d_lo - gamma_r - gamma_t, 0.0) ** 2
+    center_val = _trimmed_row_sum(center_c, h)
+    node_lb = _trimmed_row_sum(lb_c, h)
+    inf = jnp.float32(np.inf)
+    center_val = jnp.where(mask, center_val, inf)
+    node_lb = jnp.where(mask, node_lb, inf)
+    return center_val, node_lb
+
+
 class BoundsEvaluator:
-    """Jit-compiled bound evaluator bound to one (source, grid) pair.
+    """Bound evaluator bound to one (source, grid) pair.
 
     ≙ the ``Registration`` object of ``registration.hpp:44-99`` (owns the
-    uploaded clouds + LUT and exposes ``compute_sse_error``), minus the
-    per-call cudaMalloc/cudaFree churn (``registration.cu:97-98,147-148``):
-    all shapes here are static, XLA reuses buffers across steps.
+    uploaded clouds + LUT and exposes ``compute_sse_error``).
     """
 
     def __init__(
@@ -104,56 +145,32 @@ class BoundsEvaluator:
         self.h = max(1, int(round(self.n_points * (1.0 - self.trim_fraction))))
         self.lookup = lookup
         self.slack = lattice_slack(grid, lookup) if conservative else 0.0
-        self._step = jax.jit(self._step_impl)
-
-    # ---- device step -----------------------------------------------------
 
     def _step_impl(self, R, max_angle, t_center, t_span, rot_flag, mask):
-        """All inputs ``[M,...]``; returns ``(center_val, node_lb) [M]``.
-
-        ``center_val``: objective evaluated at the cube center — the plain
-        SSE when ``rot_flag=0`` (an *upper* bound path, uses ``d_hi``), or
-        the rotation-deflated SSE when ``rot_flag=1`` (a *lower* bound path,
-        uses ``d_lo``).  ``node_lb``: additionally deflated by the
-        translation radius ``√3·span`` — the cube's lower bound
-        (≙ ``registration.cu:48-56``).
-        """
-        src, grid = self.src, self.grid
-        pts = (
-            jnp.einsum("mij,nj->mni", R, src, precision=_PREC)
-            + t_center[:, None, :]
-        )  # [M,N,3]
-        if self.lookup == "trilinear":
-            val, esc = lookup_sq_trilinear(grid, pts)
-        else:
-            val, esc = lookup_sq_nearest(grid, pts)
-        d = jnp.sqrt(jnp.maximum(val, 0.0))
-        d_lo = jnp.maximum(d - esc - self.slack, 0.0)       # ≤ true distance
-        d_hi = d + esc + self.slack                          # ≥ true distance
-        gamma_r = rotation_displacement(max_angle, self.norms) * rot_flag[:, None]
-        gamma_t = (_SQRT3 * t_span)[:, None]
-
-        center_d = jnp.where(rot_flag[:, None] > 0, d_lo, d_hi)
-        center_c = jnp.maximum(center_d - gamma_r, 0.0) ** 2
-        lb_c = jnp.maximum(d_lo - gamma_r - gamma_t, 0.0) ** 2
-        center_val = _trimmed_row_sum(center_c, self.h)
-        node_lb = _trimmed_row_sum(lb_c, self.h)
-        inf = jnp.float32(np.inf)
-        center_val = jnp.where(mask, center_val, inf)
-        node_lb = jnp.where(mask, node_lb, inf)
-        return center_val, node_lb
+        """Closure form of :func:`bounds_step` (driver compile-check entry)."""
+        return bounds_step(
+            self.src, self.norms, self.grid, jnp.float32(self.slack),
+            R, max_angle, t_center, t_span, rot_flag, mask,
+            h=self.h, lookup=self.lookup,
+        )
 
     # ---- host-facing API -------------------------------------------------
 
     def evaluate(self, R, max_angle, t_center, t_span, rot_flag, mask):
         """Evaluate a padded job batch; returns numpy ``(center_val, node_lb)``."""
-        cv, lb = self._step(
+        cv, lb = bounds_step(
+            self.src,
+            self.norms,
+            self.grid,
+            jnp.float32(self.slack),
             jnp.asarray(R, jnp.float32),
             jnp.asarray(max_angle, jnp.float32),
             jnp.asarray(t_center, jnp.float32),
             jnp.asarray(t_span, jnp.float32),
             jnp.asarray(rot_flag, jnp.float32),
             jnp.asarray(mask),
+            h=self.h,
+            lookup=self.lookup,
         )
         return np.asarray(cv), np.asarray(lb)
 

@@ -25,6 +25,7 @@ or axis-angle π-cube (jly, ``jly_goicp.cpp:44-48``), selected by config.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from typing import Callable, Optional
@@ -34,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from goicp_tpu.bnb.bounds import BoundsEvaluator
+from goicp_tpu.bnb.device_inner import inner_bnb_device
 from goicp_tpu.bnb.frontier import Frontier
 from goicp_tpu.core.logging import get_logger
 from goicp_tpu.core.metrics import Metrics
@@ -111,6 +113,24 @@ class AxisAngleParam:
 _PARAMS = {"quaternion": QuatParam, "axis_angle": AxisAngleParam}
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _grid_icp(src, grid, tgt, R, t, params: IcpParams):
+    """Module-level jitted batched grid-correspondence ICP: one compiled
+    executable shared across solver instances with same-shaped problems."""
+    return run_icp(src, grid_correspondence(grid, tgt), RigidTransform(R, t), params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _exact_icp(src, tgt, R, t, params: IcpParams):
+    """Exact brute-force-NN ICP (≙ ``icp3d.cu:13-30``): used when the target
+    cloud is small enough that exact correspondences are cheap — the refined
+    SSE is then the *true* objective, which tightens incumbent-driven
+    pruning (a grid-correspondence SSE overestimates)."""
+    from goicp_tpu.icp import exact_correspondence
+
+    return run_icp(src, exact_correspondence(tgt), RigidTransform(R, t), params)
+
+
 # ---------------------------------------------------------------------------
 # solver configuration / result
 # ---------------------------------------------------------------------------
@@ -120,16 +140,37 @@ _PARAMS = {"quaternion": QuatParam, "axis_angle": AxisAngleParam}
 class BnbParams:
     mse_threshold: float = 1e-3      # ≙ config mse_threshold (common.cpp:34)
     trim_fraction: float = 0.0
-    rotation_param: str = "quaternion"
+    rotation_param: str = "axis_angle"
+                                     # axis-angle (jly) default: the exponential
+                                     # map gives the UNIFORM bound angle≤√3·span
+                                     # (jly_goicp.cpp:153-157); the quaternion
+                                     # cube's uncertainty blows up near the
+                                     # |v|=1 boundary (w = sqrt(1-r²) varies
+                                     # unboundedly fast), stalling convergence
+                                     # for rotations near 180°
     lookup: str = "trilinear"
     grid_resolution: int = 256
     grid_expand: float = 2.0
     grid_method: str = "edt"         # "edt" (O(n^4), ≙ jly DT3D) | "brute"
                                      # (exact, O(n^3·Nt), ≙ buildLUTKernel)
     job_cap: int = 2048              # jobs per device step (ref: 1/stream)
-    rot_pop: int = 8                 # rot cubes popped per outer round (ref: 1)
-    min_rot_span: float = 0.05       # ≙ fgoicp.cpp:53 (0.1); × root span
-    min_trans_span: float = 0.06     # ≙ fgoicp.cpp:160 (0.12)
+    rot_pop: int = 16                # rot cubes popped per outer round (ref: 1)
+    min_rot_span: float = 0.02       # ≙ fgoicp.cpp:53 (0.1); × root span.
+                                     # Depth 5: where per-point rotation
+                                     # uncertainty gets small enough for the
+                                     # ε-gap to close with CORRECT radii
+                                     # (the reference's 0.1 floor suffices
+                                     # only because registration.cu:39-43
+                                     # deflates by |p|² instead of |p|)
+    min_trans_span: float = 0.0      # 0 ⇒ ε-rule + inner_levels only
+                                     # (fgoicp.cpp:160 uses 0.12 absolute)
+    inner_levels: int = 7            # max inner subdivision depth
+    inner_cap: int = 32              # translation frontier slots per rot cube
+    point_tile: int = 128            # point-axis tile in the device inner BnB
+    bound_backend: str = "auto"      # "exact" (brute, slack-free) | "grid" |
+                                     # "auto": exact when the target cloud is
+                                     # small enough to stream (≤ exact_max)
+    exact_max: int = 16384           # auto-backend target-size cutoff
     init_multistart: int = 64        # batched multi-start ICP seeds (ref: 1,
                                      # identity only, fgoicp.cpp:11) — a TPU
                                      # batching win; BnB still certifies
@@ -293,18 +334,30 @@ class GoIcpSolver:
         self.metrics = Metrics()
         self.log = get_logger()
 
-        # grid domain must cover every possible query R p + t
-        src_radius = float(np.linalg.norm(self.src, axis=1).max())
-        reach = src_radius + _SQRT3 * params.trans_span + float(
-            np.linalg.norm(np.asarray(params.trans_center))
-        )
-        cover = _OCTANTS * reach
+        # exact bounds beat the grid when the target cloud streams through
+        # VMEM (≙ the reference's own brute-force-beats-kd-tree finding,
+        # README.md:103-106) — and carry zero discretization slack
+        if params.bound_backend == "auto":
+            self._backend = (
+                "exact" if self.tgt.shape[0] <= params.exact_max else "grid"
+            )
+        else:
+            self._backend = params.bound_backend
+
+        # Tight domain (target bbox × expand, ≙ jly's expandFactor=2 DT box,
+        # jly_3ddt.cpp:889): queries landing outside get exact
+        # triangle-inequality escape bounds, so shrinking the domain costs
+        # nothing in correctness but divides the cell size — and with it the
+        # discretization slack on every lower bound — by ~4 vs. covering the
+        # whole reachable set.
+        # exact backend needs no distance field at all (bounds AND ICP use
+        # true NN distances); build a vestigial 8³ grid to satisfy the
+        # evaluator plumbing without the O(n⁴) cost
         with self.metrics.phase("grid_build"):
             self.grid = build_distance_grid(
                 self.tgt,
-                n=params.grid_resolution,
+                n=(8 if self._backend == "exact" else params.grid_resolution),
                 expand=params.grid_expand,
-                cover=cover,
                 method=params.grid_method,
                 with_index=True,
             )
@@ -324,15 +377,8 @@ class GoIcpSolver:
             rel_tol=params.icp_rel_tol,
             trim_fraction=params.trim_fraction,
         )
-        self._icp_corr = grid_correspondence(self.grid, jnp.asarray(self.tgt))
-        self._icp_fn = jax.jit(
-            lambda R, t: run_icp(
-                jnp.asarray(self.src),
-                self._icp_corr,
-                RigidTransform(R, t),
-                self._icp_params,
-            )
-        )
+        self._src_dev = jnp.asarray(self.src)
+        self._tgt_dev = jnp.asarray(self.tgt)
 
     # -- batched ICP refinement (pad to icp_cap for a stable jit cache) ----
 
@@ -345,7 +391,23 @@ class GoIcpSolver:
             pad = cap - (e - s)
             Rb = np.concatenate([R[s:e], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
             tb = np.concatenate([t[s:e], np.zeros((pad, 3), np.float32)])
-            res = self._icp_fn(jnp.asarray(Rb), jnp.asarray(tb))
+            if self._backend == "exact":
+                res = _exact_icp(
+                    self._src_dev,
+                    self._tgt_dev,
+                    jnp.asarray(Rb),
+                    jnp.asarray(tb),
+                    self._icp_params,
+                )
+            else:
+                res = _grid_icp(
+                    self._src_dev,
+                    self.grid,
+                    self._tgt_dev,
+                    jnp.asarray(Rb),
+                    jnp.asarray(tb),
+                    self._icp_params,
+                )
             outs.append(
                 (
                     np.asarray(res.transform.R)[: e - s],
@@ -432,25 +494,49 @@ class GoIcpSolver:
                     continue
                 m.count("rot_nodes", C)
                 R_c = self.rotparam.rotation(ccen)
-                ang_c = self.rotparam.max_angle(ccen, cspn)
+                ang_c = self.rotparam.max_angle(ccen, cspn).astype(np.float32)
 
-                # joint inner BnB: C ub-queries (flag 0) + C lb-queries (flag 1)
-                R_q = np.concatenate([R_c, R_c])
-                ang_q = np.concatenate([np.zeros(C, np.float32), ang_c.astype(np.float32)])
-                flag_q = np.concatenate([np.zeros(C, np.float32), np.ones(C, np.float32)])
-                # external caps: ub queries only matter below the ICP trigger
-                # (refine_factor·best); lb queries only below the incumbent
-                cap_q = np.concatenate(
-                    [
-                        np.full(C, p.icp_refine_factor * best_sse, np.float32),
-                        np.full(C, best_sse, np.float32),
-                    ]
+                # one device call runs the full dual-mode inner BnB for every
+                # candidate; pad G to the static cap (stable jit cache)
+                G_cap = 8 * p.rot_pop
+                padn = G_cap - C
+                R_pad = np.concatenate(
+                    [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
                 )
-                ub_q, lb_q, t_q = inner_bnb(
-                    self.ev, R_q, ang_q, flag_q, p, self.sse_thresh, m, cap_q
+                ang_pad = np.concatenate([ang_c, np.zeros(padn, np.float32)])
+                # external caps: the ub search only matters below the ICP
+                # trigger (refine_factor·best); the lb search below best.
+                # Padding rows get -inf caps → die after one level.
+                cap_ub = np.full(G_cap, p.icp_refine_factor * best_sse, np.float32)
+                cap_lb = np.full(G_cap, best_sse, np.float32)
+                if padn:
+                    cap_ub[C:] = -np.inf
+                    cap_lb[C:] = -np.inf
+                inc_ub, inc_lb, t_g, unres_ub, unres_lb, nodes = inner_bnb_device(
+                    self._src_dev,
+                    self.ev.norms,
+                    self.grid,
+                    self._tgt_dev if self._backend == "exact" else self._tgt_dev[:1],
+                    jnp.float32(0.0 if self._backend == "exact" else self.ev.slack),
+                    jnp.asarray(R_pad),
+                    jnp.asarray(ang_pad),
+                    jnp.asarray(cap_ub),
+                    jnp.asarray(cap_lb),
+                    jnp.asarray(np.asarray(p.trans_center, np.float32)),
+                    jnp.float32(p.trans_span),
+                    jnp.float32(self.sse_thresh),
+                    jnp.float32(p.min_trans_span),
+                    levels=p.inner_levels,
+                    C=p.inner_cap,
+                    h=(self.ev.h if p.trim_fraction > 0 else 0),
+                    lookup=p.lookup,
+                    tile=p.point_tile,
+                    backend=self._backend,
                 )
-                ub_c, t_ub = ub_q[:C], t_q[:C]
-                lb_c = lb_q[C:]
+                ub_c = np.asarray(inc_ub)[:C]
+                lb_c = np.minimum(np.asarray(inc_lb), np.asarray(unres_lb))[:C]
+                t_ub = np.asarray(t_g)[:C]
+                m.count("trans_nodes", int(nodes))
 
                 # ICP-refine all promising candidates in one batch
                 # (≙ relaxed trigger, fgoicp.cpp:75) — plus, always, the
@@ -500,6 +586,12 @@ class GoIcpSolver:
 
                 if best_sse <= self.sse_thresh:
                     converged = True
+                if rounds % 10 == 0:
+                    self.log.info(
+                        "round %d: best=%.5g frontier=%d min_lb=%.4g leaf_lb=%.4g",
+                        rounds, best_sse, len(frontier), frontier.min_lb(),
+                        rot_lb_leaf,
+                    )
 
                 self.progress.publish(
                     SolverState(

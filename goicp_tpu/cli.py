@@ -31,6 +31,7 @@ import time
 import numpy as np
 
 from goicp_tpu.bnb import BnbParams, GoIcpResult, GoIcpSolver
+from goicp_tpu.core.cache import enable_persistent_cache
 from goicp_tpu.core.config import Config, Mode
 from goicp_tpu.core.logging import get_logger
 from goicp_tpu.core.progress import ProgressBus
@@ -119,6 +120,7 @@ def run_goicp_mode(cfg: Config, src, tgt, bus: ProgressBus):
 
 def run_scenario(toml_path: str, output_dir: str | None = None) -> dict:
     """Full scenario: load → solve → artifacts.  Returns the result dict."""
+    enable_persistent_cache()
     log = get_logger()
     cfg = Config.from_toml(toml_path)
     seed = cfg.tpu.seed

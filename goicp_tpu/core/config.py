@@ -91,7 +91,7 @@ class TpuConfig:
     min_trans_span: float = 0.03   # subdivision floor, R^3 (ref 0.12, fgoicp.cpp:160)
     icp_max_iter: int = 128         # ref: 1000 initial / 500 refine (fgoicp.cpp:11,77)
     icp_rel_tol: float = 1e-3       # ref convergence_threshold (fgoicp.cpp:11)
-    rotation_param: str = "quaternion"  # "quaternion" (fgoicp) | "axis_angle" (jly)
+    rotation_param: str = "axis_angle"  # "axis_angle" (jly, uniform bound) | "quaternion" (fgoicp)
     lookup: str = "trilinear"       # "trilinear" (ref tex3D) | "nearest" (ref CPU DT)
     seed: int = 0                   # subsampling RNG seed (ref uses random_device)
     mesh_points: int = 1            # device-mesh extent over the point axis

@@ -1,0 +1,13 @@
+from goicp_tpu.dist.sharding import (
+    make_mesh,
+    sharded_bounds_step,
+    sharded_icp_step,
+    sharded_sse,
+)
+
+__all__ = [
+    "make_mesh",
+    "sharded_bounds_step",
+    "sharded_icp_step",
+    "sharded_sse",
+]

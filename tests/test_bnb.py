@@ -129,10 +129,11 @@ def test_goicp_recovers_large_rotation(param):
     params = BnbParams(
         mse_threshold=1e-5,
         rotation_param=param,
-        grid_resolution=96,
-        job_cap=1024,
-        rot_pop=8,
-        max_rounds=400,
+        grid_resolution=64,
+        rot_pop=2,
+        inner_cap=16,
+        inner_levels=8,
+        max_rounds=60,
     )
     res = register(src, tgt, params)
     pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
@@ -153,9 +154,11 @@ def test_goicp_trimmed_with_outliers():
     params = BnbParams(
         mse_threshold=1e-5,
         trim_fraction=0.15,
-        grid_resolution=96,
-        job_cap=1024,
-        max_rounds=400,
+        grid_resolution=64,
+        rot_pop=2,
+        inner_cap=16,
+        inner_levels=8,
+        max_rounds=60,
     )
     res = register(src_noisy, tgt, params)
     pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)

@@ -48,6 +48,7 @@ zmax = 0.5
 
 [tpu]
 grid_resolution = 64
+rot_batch = 2
 {extra}
 """
         )
