@@ -1,5 +1,5 @@
 from goicp_tpu.bnb.bounds import BoundsEvaluator, lattice_slack
-from goicp_tpu.bnb.solver import BnbParams, GoIcpResult, GoIcpSolver, register
+from goicp_tpu.bnb.solver import BnbParams, GoIcpResult, GoIcpSolver, make_solver, register
 
 __all__ = [
     "BoundsEvaluator",
@@ -7,5 +7,6 @@ __all__ = [
     "BnbParams",
     "GoIcpResult",
     "GoIcpSolver",
+    "make_solver",
     "register",
 ]

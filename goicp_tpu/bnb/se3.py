@@ -1,0 +1,418 @@
+"""Flat SE(3) product-space BnB — the TPU-native global solver engine.
+
+The reference nests two searches: an outer SO(3) BnB whose every node runs a
+full inner R³ BnB to convergence (``fgoicp.cpp:32-181``; Yang et al. §IV).
+That shape is right for a sequential CPU/stream machine and wrong for a TPU:
+the inner search is a *serial* loop of tiny batches, and bounding its frontier
+to a fixed per-cube capacity (the jit-friendly variant) silently weakens
+lower bounds whenever the capacity overflows.
+
+This engine instead runs ONE best-first BnB over the 6-D product space
+``SO(3) × R³``.  Each node is (rotation cube, translation cube) with
+
+    ub = Σ_trim d(R_c p_i + t_c)²                                (exact pose)
+    lb = Σ_trim max(d(R_c p_i + t_c) − γr_i − γt, 0)²     (Yang et al. eq. 10)
+
+where ``γr_i = 2 sin(min(√3·σ_r, π)/2)·‖p_i‖`` (``jly_goicp.cpp:153-159``)
+and ``γt = √3·σ_t``.  A node splits 8-way along whichever of its two cubes
+contributes more uncertainty (``γ̄r`` vs ``γt``) — equalizing the two radii,
+which is what makes the product search competitive with the nested one.
+
+Everything the device sees is a flat, statically-shaped batch: pop the B best
+nodes from the (native C++) frontier, expand to 8B children, evaluate all
+bounds in ONE dispatch, ICP-refine every promising child in one batched
+call, push survivors.  No nested loops, no capacity starvation, no
+data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goicp_tpu.bnb.device_inner import _gather_d2, _merge_top
+from goicp_tpu.bnb.frontier import make_frontier
+from goicp_tpu.bnb.solver import (
+    BnbParams,
+    GoIcpResult,
+    GoIcpSolver,
+    _OCTANTS,
+)
+from goicp_tpu.core.progress import SolverState
+from goicp_tpu.core.types import RigidTransform
+from goicp_tpu.geo.rotation import rotation_displacement
+
+_SQRT3 = math.sqrt(3.0)
+_PREC = jax.lax.Precision.HIGHEST
+_INF = jnp.float32(np.inf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "lookup", "backend", "tile", "tgt_tile"),
+)
+def evaluate_se3_nodes(
+    src,        # [N,3]
+    norms,      # [N]
+    grid,
+    tgt,        # [Nt,3] (exact backend; [1,3] dummy for grid)
+    slack,      # f32 scalar
+    R,          # [M,3,3]
+    max_angle,  # [M]
+    t_c,        # [M,3]
+    t_span,     # [M]
+    mask,       # [M] bool
+    *,
+    h: int = 0,
+    lookup: str = "trilinear",
+    backend: str = "exact",
+    tile: int = 128,
+    tgt_tile: int = 256,
+):
+    """One dispatch: (ub, lb) for a flat batch of SE(3) nodes.
+
+    ≙ ``kernComputeBounds`` + reduce (``registration.cu:27-60,88-151``) but
+    for thousands of 6-D nodes at once instead of one per stream.
+    """
+    M, N = R.shape[0], src.shape[0]
+    drop = 0 if h in (0, N) else N - h
+
+    if backend == "exact":
+        nt = tgt.shape[0]
+        padt = (-nt) % tgt_tile
+        if padt:
+            tgt = jnp.concatenate(
+                [tgt, jnp.full((padt, 3), 1e15, tgt.dtype)], axis=0
+            )
+        tgt_tiles = tgt.reshape(-1, tgt_tile, 3)
+        tgt_norm_tiles = jnp.sum(tgt_tiles * tgt_tiles, axis=-1)
+
+    gamma_r = rotation_displacement(max_angle, norms)   # [M,N]
+    gamma_t = (_SQRT3 * t_span)[:, None]                # [M,1]
+
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    src_p = jnp.pad(src, ((0, pad), (0, 0))) if pad else src
+    gr_p = jnp.pad(gamma_r, ((0, 0), (0, pad))) if pad else gamma_r
+    pt_mask = (jnp.arange(n_tiles * tile) < N).astype(jnp.float32)
+    src_t = src_p.reshape(n_tiles, tile, 3)
+    gr_t = gr_p.reshape(M, n_tiles, tile).swapaxes(0, 1)   # [T,M,tile]
+    pm_t = pt_mask.reshape(n_tiles, tile)
+
+    def tile_body(carry, xs):
+        (s_ub, s_lb), (top_ub, top_lb) = carry
+        s_tile, g_tile, m_tile = xs                        # [tile,3],[M,tile],[tile]
+        pts = (
+            jnp.einsum("mij,tj->mti", R, s_tile, precision=_PREC)
+            + t_c[:, None, :]
+        )                                                   # [M,tile,3]
+        if backend == "exact":
+            flat = pts.reshape(-1, 3)
+            pn = jnp.sum(flat * flat, axis=-1)
+
+            def t_body(best, ys):
+                tt, tn = ys
+                dots = jnp.dot(flat, tt.T, precision=_PREC)  # MXU
+                return jnp.minimum(best, jnp.min(tn[None, :] - 2.0 * dots, -1)), None
+
+            best, _ = jax.lax.scan(
+                t_body,
+                jnp.full((flat.shape[0],), _INF, jnp.float32),
+                (tgt_tiles, tgt_norm_tiles),
+            )
+            d = jnp.sqrt(jnp.maximum(best + pn, 0.0)).reshape(M, tile)
+            d_lo = d_hi = d
+        else:
+            val, esc = _gather_d2(grid, pts, lookup)
+            d = jnp.sqrt(jnp.maximum(val, 0.0))
+            d_lo = jnp.maximum(d - esc - slack, 0.0)
+            d_hi = d + esc + slack
+        ub_c = (d_hi**2) * m_tile
+        lb_c = jnp.maximum(d_lo - g_tile - gamma_t, 0.0) ** 2 * m_tile
+        s_ub = s_ub + jnp.sum(ub_c, axis=-1)
+        s_lb = s_lb + jnp.sum(lb_c, axis=-1)
+        if drop:
+            top_ub = _merge_top(top_ub, ub_c, drop)
+            top_lb = _merge_top(top_lb, lb_c, drop)
+        return ((s_ub, s_lb), (top_ub, top_lb)), None
+
+    zero = jnp.zeros((M,), jnp.float32)
+    tops0 = (
+        (jnp.full((M, drop), -_INF), jnp.full((M, drop), -_INF))
+        if drop
+        else (zero[:, None], zero[:, None])
+    )
+    ((s_ub, s_lb), (top_ub, top_lb)), _ = jax.lax.scan(
+        tile_body, ((zero, zero), tops0), (src_t, gr_t, pm_t)
+    )
+    if drop:
+        s_ub = s_ub - jnp.sum(jnp.maximum(top_ub, 0.0), axis=-1)
+        s_lb = s_lb - jnp.sum(jnp.maximum(top_lb, 0.0), axis=-1)
+    return jnp.where(mask, s_ub, _INF), jnp.where(mask, s_lb, _INF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "lookup", "backend", "tile", "tgt_tile", "refine_k", "icp_params",
+        "icp_backend",
+    ),
+)
+def se3_round(
+    src, norms, grid, tgt, slack,
+    R, max_angle, t_c, t_span, mask,
+    *,
+    h: int,
+    lookup: str,
+    backend: str,
+    tile: int,
+    tgt_tile: int,
+    refine_k: int,
+    icp_params,
+    icp_backend: str,
+):
+    """One FUSED BnB round: bound evaluation + top-k batched ICP refinement
+    in a single dispatch (one host↔device round trip per outer round —
+    the reference pays a launch+sync per *node*, ``registration.cu:144``).
+
+    Returns ``(ub, lb, R_ref, t_ref, sse_ref)`` where the last three are the
+    ICP-refined poses of the ``refine_k`` best-ub nodes.
+    """
+    from goicp_tpu.icp import exact_correspondence, grid_correspondence, run_icp
+
+    ub, lb = evaluate_se3_nodes(
+        src, norms, grid, tgt, slack, R, max_angle, t_c, t_span, mask,
+        h=h, lookup=lookup, backend=backend, tile=tile, tgt_tile=tgt_tile,
+    )
+    _, top = jax.lax.top_k(-ub, refine_k)
+    R0 = jnp.take(R, top, axis=0)
+    t0 = jnp.take(t_c, top, axis=0)
+    corr = (
+        exact_correspondence(tgt)
+        if icp_backend == "exact"
+        else grid_correspondence(grid, tgt)
+    )
+    res = run_icp(src, corr, RigidTransform(R0, t0), icp_params)
+    return ub, lb, res.transform.R, res.transform.t, res.sse, res.iters
+
+
+class GoIcpSolverSE3(GoIcpSolver):
+    """Product-space engine (shares init/ICP plumbing with the nested solver)."""
+
+    def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
+        import time
+
+        p, m = self.p, self.metrics
+        t_start = time.perf_counter()
+
+        best_R, best_t, best_sse = self._initial_icp(init)
+        self.log.info(
+            "Initial ICP: sse=%.6g mse=%.6g", best_sse, best_sse / self.ev.h
+        )
+
+        mean_norm = float(np.mean(np.linalg.norm(self.src, axis=1)))
+        root_rspan = self.rotparam.root_span
+        rot_floor = p.min_rot_span * root_rspan
+        # translation floor: resolve to where γt stops dominating the
+        # achievable rms distance (ε-rule analogue of fgoicp.cpp:160)
+        trans_floor = max(p.min_trans_span, 1e-5)
+
+        # frontier payload: [r_c(3), r_span, t_c(3), t_span]
+        frontier = make_frontier(8)
+        root = np.array(
+            [0.0, 0.0, 0.0, root_rspan, *p.trans_center, p.trans_span],
+            np.float32,
+        )
+        frontier.push(root[None], [0.0], [np.inf])
+
+        leaf_lb = float("inf")
+        rounds = 0
+        converged = best_sse <= self.sse_thresh
+        M_cap = 8 * p.se3_pop
+
+        with m.phase("bnb"):
+            while not converged and len(frontier) and rounds < p.max_rounds:
+                gap_lb = min(frontier.min_lb(), leaf_lb)
+                if best_sse - gap_lb <= self.sse_thresh:
+                    converged = True
+                    break
+                rounds += 1
+                pay, _, _ = frontier.pop_best(p.se3_pop)
+                B = pay.shape[0]
+                r_c, r_s = pay[:, 0:3], pay[:, 3]
+                t_c, t_s = pay[:, 4:7], pay[:, 7]
+
+                # split the dimension with the larger uncertainty radius
+                g_rot = 2.0 * np.sin(
+                    np.minimum(_SQRT3 * r_s, np.pi) / 2.0
+                ) * mean_norm
+                g_tr = _SQRT3 * t_s
+                split_rot = (g_rot >= g_tr) & (r_s / 2.0 >= rot_floor)
+                split_rot |= t_s / 2.0 < trans_floor  # other dim floored
+                can_rot = r_s / 2.0 >= rot_floor
+                split_rot &= can_rot
+                # leaves: both dimensions at floor — handled below (re-eval
+                # cheap; their lb was already ≥ push threshold)
+                is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
+
+                child = np.repeat(pay, 8, axis=0)          # [8B, 8]
+                oct8 = np.tile(_OCTANTS, (B, 1))           # [8B, 3]
+                sr = np.repeat(split_rot, 8)
+                lf = np.repeat(is_leaf, 8)
+                # rotation split
+                half_r = np.repeat(r_s, 8) / 2.0
+                child[sr, 0:3] += oct8[sr] * half_r[sr, None]
+                child[sr, 3] = half_r[sr]
+                # translation split
+                half_t = np.repeat(t_s, 8) / 2.0
+                tsel = ~sr & ~lf
+                child[tsel, 4:7] += oct8[tsel] * half_t[tsel, None]
+                child[tsel, 7] = half_t[tsel]
+                # leaves: keep only one copy (slot 0 of each 8-block)
+                keep_child = np.ones(8 * B, bool)
+                if lf.any():
+                    keep_child &= ~lf | (np.arange(8 * B) % 8 == 0)
+                # rotation-ball validity (jly_goicp.cpp:443-446)
+                keep_child &= self.rotparam.valid(child[:, 0:3], child[:, 3])
+                child = child[keep_child]
+                lf = lf[keep_child]
+                C = child.shape[0]
+                if C == 0:
+                    continue
+                m.count("se3_nodes", C)
+
+                padn = M_cap - C
+                R_c = self.rotparam.rotation(child[:, 0:3])
+                ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3]).astype(
+                    np.float32
+                )
+                # ONE dispatch: bounds for all children + batched ICP of the
+                # refine_top_k best — then one bulk fetch
+                out = se3_round(
+                    self._src_dev,
+                    self.ev.norms,
+                    self.grid,
+                    self._tgt_dev,
+                    jnp.float32(0.0 if self._backend == "exact" else self.ev.slack),
+                    jnp.asarray(
+                        np.concatenate(
+                            [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
+                        )
+                    ),
+                    jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)])),
+                    jnp.asarray(
+                        np.concatenate([child[:, 4:7], np.zeros((padn, 3), np.float32)])
+                    ),
+                    jnp.asarray(np.concatenate([child[:, 7], np.zeros(padn, np.float32)])),
+                    jnp.asarray(np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])),
+                    h=(self.ev.h if p.trim_fraction > 0 else 0),
+                    lookup=p.lookup,
+                    backend=self._backend,
+                    tile=p.point_tile,
+                    tgt_tile=256,
+                    refine_k=p.refine_top_k,
+                    icp_params=self._icp_params,
+                    icp_backend=self._icp_backend,
+                )
+                ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = jax.device_get(out)
+                ub_c = ub_d[:C]
+                lb_c = lb_d[:C]
+                m.count("icp_iters", int(it_ref.sum()))
+
+                j = int(np.argmin(sse_ref))
+                if float(sse_ref[j]) < best_sse:
+                    best_sse = float(sse_ref[j])
+                    best_R, best_t = R_ref[j], t_ref[j]
+                    frontier.prune(best_sse - self.sse_thresh)
+                    self.log.info(
+                        "round %d: new best sse=%.6g (mse=%.6g)",
+                        rounds,
+                        best_sse,
+                        best_sse / self.ev.h,
+                    )
+                j = int(np.argmin(ub_c))
+                if float(ub_c[j]) < best_sse:
+                    best_sse = float(ub_c[j])
+                    best_R, best_t = R_c[j], child[j, 4:7]
+                    frontier.prune(best_sse - self.sse_thresh)
+
+                alive = lb_c < best_sse - self.sse_thresh
+                if (alive & lf).any():
+                    leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
+                keep = alive & ~lf
+                if keep.any():
+                    frontier.push(child[keep], lb_c[keep], ub_c[keep])
+
+                if best_sse <= self.sse_thresh:
+                    converged = True
+                if rounds % 10 == 0:
+                    self.log.info(
+                        "round %d: best=%.5g frontier=%d min_lb=%.4g leaf_lb=%.4g",
+                        rounds,
+                        best_sse,
+                        len(frontier),
+                        frontier.min_lb(),
+                        leaf_lb,
+                    )
+                self.progress.publish(
+                    SolverState(
+                        opt_R=best_R,
+                        opt_t=best_t,
+                        cur_R=R_c[0],
+                        cur_t=child[0, 4:7],
+                        best_sse=best_sse,
+                        gap=best_sse - min(frontier.min_lb(), leaf_lb),
+                        finished=False,
+                        rot_nodes=int(m.counters.get("se3_nodes", 0)),
+                        trans_nodes=int(m.counters.get("se3_nodes", 0)),
+                        round=rounds,
+                    )
+                )
+
+        if not len(frontier) and not converged:
+            converged = True
+
+        gap = best_sse - min(frontier.min_lb(), leaf_lb)
+        wall = time.perf_counter() - t_start
+        nodes = int(m.counters.get("se3_nodes", 0))
+        result = GoIcpResult(
+            transform=RigidTransform(best_R, best_t),
+            sse=best_sse,
+            mse=best_sse / self.ev.h,
+            converged=converged,
+            gap=float(max(gap, 0.0)) if math.isfinite(gap) else 0.0,
+            rot_nodes=nodes,
+            trans_nodes=nodes,
+            icp_iters=int(m.counters.get("icp_iters", 0)),
+            rounds=rounds,
+            wall_s=wall,
+            metrics=m,
+        )
+        self.progress.publish(
+            SolverState(
+                opt_R=best_R,
+                opt_t=best_t,
+                cur_R=best_R,
+                cur_t=best_t,
+                best_sse=best_sse,
+                gap=result.gap,
+                finished=True,
+                rot_nodes=nodes,
+                trans_nodes=nodes,
+                round=rounds,
+            )
+        )
+        self.log.info(
+            "Go-ICP(SE3) done: sse=%.6g mse=%.6g rounds=%d nodes=%d wall=%.2fs",
+            result.sse,
+            result.mse,
+            rounds,
+            nodes,
+            wall,
+        )
+        return result

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from goicp_tpu.bnb.bounds import BoundsEvaluator
 from goicp_tpu.bnb.device_inner import inner_bnb_device
-from goicp_tpu.bnb.frontier import Frontier
+from goicp_tpu.bnb.frontier import Frontier, make_cube_frontier
 from goicp_tpu.core.logging import get_logger
 from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.progress import ProgressBus, SolverState
@@ -84,30 +84,48 @@ class QuatParam:
 
 
 class AxisAngleParam:
-    """jly's axis-angle cube: root span π (``jly_goicp.cpp:44-48``)."""
+    """jly's axis-angle cube: root span π (``jly_goicp.cpp:44-48``).
+
+    Pure numpy — these run on the host every BnB round, and an eager jnp op
+    over the remote-device link costs a full round trip each.
+    """
 
     root_span = math.pi
 
     @staticmethod
     def rotation(centers):
-        return np.asarray(rot.axis_angle_rotation(jnp.asarray(centers, jnp.float32)))
+        c = np.asarray(centers, np.float32)
+        t2 = np.sum(c * c, axis=-1, keepdims=True)
+        t = np.sqrt(np.maximum(t2, 1e-30))
+        half = 0.5 * t
+        sinc_half = np.where(t < 1e-4, 0.5 - t2 / 48.0, np.sin(half) / t)
+        w = np.cos(half)  # [..., 1]
+        v = c * sinc_half
+        x, y, z = v[..., 0:1], v[..., 1:2], v[..., 2:3]
+        ww, xx, yy, zz = w * w, x * x, y * y, z * z
+        wx, wy, wz = w * x, w * y, w * z
+        xy, xz, yz = x * y, x * z, y * z
+        R = np.concatenate(
+            [
+                ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy),
+                2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx),
+                2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz,
+            ],
+            axis=-1,
+        ).reshape(*c.shape[:-1], 3, 3)
+        return R.astype(np.float32)
 
     @staticmethod
     def max_angle(centers, spans):
-        return np.asarray(
-            np.broadcast_to(
-                np.asarray(rot.axis_angle_max_angle(jnp.asarray(spans, jnp.float32))),
-                np.asarray(spans).shape,
-            )
-        )
+        s = np.asarray(spans, np.float32)
+        return np.minimum(_SQRT3 * s, np.pi).astype(np.float32)
 
     @staticmethod
     def valid(centers, spans):
-        return np.asarray(
-            rot.axis_angle_in_ball(
-                jnp.asarray(centers, jnp.float32), jnp.asarray(spans, jnp.float32)
-            )
-        )
+        c = np.asarray(centers, np.float32)
+        s = np.asarray(spans, np.float32)
+        r = np.sqrt(np.sum(c * c, axis=-1))
+        return r - _SQRT3 * s <= np.pi
 
 
 _PARAMS = {"quaternion": QuatParam, "axis_angle": AxisAngleParam}
@@ -148,20 +166,22 @@ class BnbParams:
                                      # |v|=1 boundary (w = sqrt(1-r²) varies
                                      # unboundedly fast), stalling convergence
                                      # for rotations near 180°
-    lookup: str = "trilinear"
+    lookup: str = "nearest"       # ≙ jly dt.Distance (no interp); half the
+                                     # slack of trilinear and 1 gather not 8
     grid_resolution: int = 256
     grid_expand: float = 2.0
     grid_method: str = "edt"         # "edt" (O(n^4), ≙ jly DT3D) | "brute"
                                      # (exact, O(n^3·Nt), ≙ buildLUTKernel)
     job_cap: int = 2048              # jobs per device step (ref: 1/stream)
     rot_pop: int = 16                # rot cubes popped per outer round (ref: 1)
-    min_rot_span: float = 0.02       # ≙ fgoicp.cpp:53 (0.1); × root span.
-                                     # Depth 5: where per-point rotation
-                                     # uncertainty gets small enough for the
-                                     # ε-gap to close with CORRECT radii
-                                     # (the reference's 0.1 floor suffices
-                                     # only because registration.cu:39-43
-                                     # deflates by |p|² instead of |p|)
+    min_rot_span: float = 0.0        # 0 ⇒ no depth floor: ε-pruning is
+                                     # self-limiting (a node containing the
+                                     # optimum splits until its lb reaches
+                                     # best−thresh, then prunes) — exactly
+                                     # jly's unbounded-depth semantics.
+                                     # fgoicp's 0.1 floor (fgoicp.cpp:53)
+                                     # only "works" because its bounds are
+                                     # invalidly tight (registration.cu:39-43)
     min_trans_span: float = 0.0      # 0 ⇒ ε-rule + inner_levels only
                                      # (fgoicp.cpp:160 uses 0.12 absolute)
     inner_levels: int = 7            # max inner subdivision depth
@@ -170,7 +190,11 @@ class BnbParams:
     bound_backend: str = "auto"      # "exact" (brute, slack-free) | "grid" |
                                      # "auto": exact when the target cloud is
                                      # small enough to stream (≤ exact_max)
-    exact_max: int = 16384           # auto-backend target-size cutoff
+    exact_max: int = 512             # auto-backend target-size cutoff: exact
+                                     # bounds lose to O(1) grid lookups once
+                                     # node_count×N×Nt dominates (the same
+                                     # economics as jly's DT, SURVEY §2 C11)
+    icp_exact_max: int = 16384       # use exact-NN ICP (true SSE) below this
     init_multistart: int = 64        # batched multi-start ICP seeds (ref: 1,
                                      # identity only, fgoicp.cpp:11) — a TPU
                                      # batching win; BnB still certifies
@@ -183,6 +207,10 @@ class BnbParams:
     icp_cap: int = 64                # max candidates refined per batched ICP
     conservative: bool = True        # certify lbs against grid discretization
     max_rounds: int = 10_000
+    engine: str = "se3"              # "se3" (flat product-space BnB, TPU-native)
+                                     # | "nested" (≙ the reference's outer
+                                     # SO(3) / inner R³ structure)
+    se3_pop: int = 2048              # SE(3) nodes popped per round (×8 children)
 
 
 @dataclasses.dataclass
@@ -350,16 +378,25 @@ class GoIcpSolver:
         # nothing in correctness but divides the cell size — and with it the
         # discretization slack on every lower bound — by ~4 vs. covering the
         # whole reachable set.
-        # exact backend needs no distance field at all (bounds AND ICP use
-        # true NN distances); build a vestigial 8³ grid to satisfy the
-        # evaluator plumbing without the O(n⁴) cost
+        # ICP backend: exact NN while iters×N×Nt stays cheap (true SSE →
+        # tighter incumbents), grid correspondences for huge targets
+        self._icp_backend = (
+            "exact" if self.tgt.shape[0] <= params.icp_exact_max else "grid"
+        )
+        need_bounds_grid = self._backend == "grid"
+        need_icp_grid = self._icp_backend == "grid"
         with self.metrics.phase("grid_build"):
+            # all-exact solvers get a vestigial 8³ field (evaluator plumbing)
             self.grid = build_distance_grid(
                 self.tgt,
-                n=(8 if self._backend == "exact" else params.grid_resolution),
+                n=(
+                    params.grid_resolution
+                    if (need_bounds_grid or need_icp_grid)
+                    else 8
+                ),
                 expand=params.grid_expand,
                 method=params.grid_method,
-                with_index=True,
+                with_index=need_icp_grid or not need_bounds_grid,
             )
             jax.block_until_ready(self.grid.values)
         self.ev = BoundsEvaluator(
@@ -391,7 +428,7 @@ class GoIcpSolver:
             pad = cap - (e - s)
             Rb = np.concatenate([R[s:e], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))])
             tb = np.concatenate([t[s:e], np.zeros((pad, 3), np.float32)])
-            if self._backend == "exact":
+            if self._icp_backend == "exact":
                 res = _exact_icp(
                     self._src_dev,
                     self._tgt_dev,
@@ -422,20 +459,15 @@ class GoIcpSolver:
         iters = np.concatenate([o[3] for o in outs])
         return Rs, ts, sses, iters
 
-    # -- the solve ---------------------------------------------------------
+    # -- initial incumbent -------------------------------------------------
 
-    def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
+    def _initial_icp(self, init: Optional[RigidTransform] = None):
+        """Batched multi-start ICP (≙ the single identity start of
+        fgoicp.cpp:11-18): identity + deterministic random rotations with
+        centroid-matching translations.  One device step usually lands in
+        the global basin, which the BnB then certifies (and prunes against)
+        instead of discovers."""
         p, m = self.p, self.metrics
-        t_start = time.perf_counter()
-        best_R = np.eye(3, dtype=np.float32)
-        best_t = np.zeros(3, np.float32)
-        best_sse = float("inf")
-
-        # initial ICP (≙ fgoicp.cpp:11-18) — batched multi-start: identity +
-        # deterministic random rotations with centroid-matching translations.
-        # The reference starts from identity only; a batch of B starts costs
-        # one device step here and usually lands in the global basin, which
-        # the BnB then certifies (and prunes against) instead of discovers.
         with m.phase("icp"):
             seeds = [np.eye(3, dtype=np.float32)]
             if init is not None:
@@ -460,12 +492,19 @@ class GoIcpSolver:
             Rs, ts, sses, iters = self._refine(R0, t0.astype(np.float32))
             m.count("icp_iters", int(iters.sum()))
             j = int(np.argmin(sses))
-            best_R, best_t, best_sse = Rs[j], ts[j], float(sses[j])
+            return Rs[j], ts[j], float(sses[j])
+
+    # -- the solve ---------------------------------------------------------
+
+    def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
+        p, m = self.p, self.metrics
+        t_start = time.perf_counter()
+        best_R, best_t, best_sse = self._initial_icp(init)
         self.log.info(
             "Initial ICP: sse=%.6g mse=%.6g", best_sse, best_sse / self.ev.h
         )
 
-        frontier = Frontier()
+        frontier = make_cube_frontier()
         frontier.push(np.zeros((1, 3)), [self.rotparam.root_span], [0.0], [np.inf])
         rot_lb_leaf = float("inf")
         rounds = 0
@@ -654,6 +693,20 @@ class GoIcpSolver:
         return result
 
 
+def make_solver(
+    src,
+    tgt,
+    params: BnbParams = BnbParams(),
+    progress: Optional[ProgressBus] = None,
+) -> GoIcpSolver:
+    """Engine dispatch: "se3" (flat product-space, default) or "nested"."""
+    if params.engine == "se3":
+        from goicp_tpu.bnb.se3 import GoIcpSolverSE3
+
+        return GoIcpSolverSE3(src, tgt, params, progress)
+    return GoIcpSolver(src, tgt, params, progress)
+
+
 def register(
     src,
     tgt,
@@ -661,4 +714,4 @@ def register(
     progress: Optional[ProgressBus] = None,
 ) -> GoIcpResult:
     """One-call globally-optimal registration (≙ ``FastGoICP::run``)."""
-    return GoIcpSolver(src, tgt, params, progress).run()
+    return make_solver(src, tgt, params, progress).run()

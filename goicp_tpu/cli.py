@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-from goicp_tpu.bnb import BnbParams, GoIcpResult, GoIcpSolver
+from goicp_tpu.bnb import BnbParams, GoIcpResult, GoIcpSolver, make_solver
 from goicp_tpu.core.cache import enable_persistent_cache
 from goicp_tpu.core.config import Config, Mode
 from goicp_tpu.core.logging import get_logger
@@ -102,7 +102,7 @@ def run_icp_mode(cfg: Config, src, tgt):
 
 def run_goicp_mode(cfg: Config, src, tgt, bus: ProgressBus):
     params = bnb_params_from_config(cfg)
-    solver = GoIcpSolver(src, tgt, params, progress=bus)
+    solver = make_solver(src, tgt, params, progress=bus)
     res: GoIcpResult = solver.run()
     return {
         "R": np.asarray(res.transform.R),

@@ -161,8 +161,8 @@ def _minplus_axis(D, I, c2, axis: int, chunk: Optional[int] = None):
     return jnp.moveaxis(best, -1, axis), jnp.moveaxis(bidx, -1, axis)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _build_edt(targets, origin, cell, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "with_index"))
+def _build_edt(targets, origin, cell, n: int, with_index: bool = True):
     """Separable EDT of the rasterized target cloud.
 
     Targets rasterize to occupied cells (like ``jly_3ddt.cpp:911-923``); three
@@ -181,13 +181,18 @@ def _build_edt(targets, origin, cell, n: int):
     flat = (idx[:, 0] * n + idx[:, 1]) * n + idx[:, 2]
     occ = jnp.full((n * n * n,), jnp.inf, jnp.float32)
     occ = occ.at[flat].set(0.0)
-    pid = jnp.zeros((n * n * n,), jnp.int32)
-    pid = pid.at[flat].set(jnp.arange(targets.shape[0], dtype=jnp.int32))
     D = occ.reshape(n, n, n)
-    I = pid.reshape(n, n, n)
     c2 = cell * cell
+    if with_index:
+        pid = jnp.zeros((n * n * n,), jnp.int32)
+        pid = pid.at[flat].set(jnp.arange(targets.shape[0], dtype=jnp.int32))
+        I = pid.reshape(n, n, n)
+        for ax in range(3):
+            D, I = _minplus_axis(D, I, c2, ax)
+        return D, I
+    I = jnp.zeros((1, 1, 1), jnp.int32)
     for ax in range(3):
-        D, I = _minplus_axis(D, I, c2, ax)
+        D, _ = _minplus_axis(D, D, c2, ax)
     return D, I
 
 
@@ -212,7 +217,7 @@ def build_distance_grid(
         slab = 4 if n % 4 == 0 else 1
         values, indices = _build_brute(targets, origin, cell, n, with_index, slab)
     elif method == "edt":
-        values, indices = _build_edt(targets, origin, cell, n)
+        values, indices = _build_edt(targets, origin, cell, n, with_index)
         raster_err = float(cell) * math.sqrt(3.0) / 2.0
         if not with_index:
             indices = None
