@@ -158,6 +158,18 @@ int64_t gn_frontier_pop_best(int64_t h, int64_t k, float* out_payload,
   return f ? f->pop_best(k, out_payload, out_lbs, out_ubs) : -1;
 }
 
+// Copy the whole store out (checkpointing).  Buffers must hold size() nodes.
+int64_t gn_frontier_dump(int64_t h, float* out_payload, float* out_lbs,
+                         float* out_ubs) {
+  Frontier* f = get(h);
+  if (!f) return -1;
+  int64_t n = static_cast<int64_t>(f->size());
+  std::memcpy(out_payload, f->payload.data(), n * f->dim * sizeof(float));
+  std::memcpy(out_lbs, f->lb.data(), n * sizeof(float));
+  std::memcpy(out_ubs, f->ub.data(), n * sizeof(float));
+  return n;
+}
+
 int64_t gn_frontier_prune(int64_t h, float threshold) {
   Frontier* f = get(h);
   return f ? f->prune(threshold) : -1;

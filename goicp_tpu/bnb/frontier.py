@@ -77,6 +77,10 @@ class PyFrontier:
     def min_lb(self) -> float:
         return float(self.lb.min()) if len(self) else float("inf")
 
+    def dump(self):
+        """Snapshot for checkpointing: ``(payload, lb, ub)`` copies."""
+        return self.payload.copy(), self.lb.copy(), self.ub.copy()
+
 
 class NativeFrontier:
     """C++ SoA frontier: introselect batch pops, in-place prune."""
@@ -137,6 +141,21 @@ class NativeFrontier:
         if len(self) == 0:
             return float("inf")
         return float(self._n.gn_frontier_min_lb(self._h))
+
+    def dump(self):
+        """Snapshot for checkpointing: ``(payload, lb, ub)``."""
+        n = len(self)
+        pay = np.empty((max(n, 1), self.dim), np.float32)
+        lb = np.empty(max(n, 1), np.float32)
+        ub = np.empty(max(n, 1), np.float32)
+        if n:
+            self._n.gn_frontier_dump(
+                self._h,
+                pay.ctypes.data_as(_F32P),
+                lb.ctypes.data_as(_F32P),
+                ub.ctypes.data_as(_F32P),
+            )
+        return pay[:n], lb[:n], ub[:n]
 
 
 def make_frontier(dim: int):

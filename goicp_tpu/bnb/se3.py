@@ -235,144 +235,215 @@ class GoIcpSolverSE3(GoIcpSolver):
         converged = best_sse <= self.sse_thresh
         M_cap = 8 * p.se3_pop
 
+        # resume from a frontier snapshot (restart-based recovery; the BnB
+        # state is exactly {frontier, incumbent, counters} — SURVEY §5)
+        import os
+
+        if p.checkpoint_path and os.path.exists(p.checkpoint_path):
+            ck = np.load(p.checkpoint_path)
+            frontier = make_frontier(8)
+            frontier.push(ck["payload"], ck["lb"], ck["ub"])
+            if float(ck["best_sse"]) < best_sse:
+                best_sse = float(ck["best_sse"])
+                best_R, best_t = ck["best_R"], ck["best_t"]
+            leaf_lb = float(ck["leaf_lb"])
+            rounds = int(ck["rounds"])
+            m.count("se3_nodes", int(ck["nodes"]))
+            self.log.info(
+                "resumed from %s: round %d, frontier %d, best sse %.6g",
+                p.checkpoint_path,
+                rounds,
+                len(frontier),
+                best_sse,
+            )
+
+        def save_checkpoint():
+            if not p.checkpoint_path:
+                return
+            pay, lb, ub = frontier.dump()
+            tmp = p.checkpoint_path + ".tmp.npz"
+            np.savez(
+                tmp,
+                payload=pay,
+                lb=lb,
+                ub=ub,
+                best_R=best_R,
+                best_t=best_t,
+                best_sse=np.float32(best_sse),
+                leaf_lb=np.float32(leaf_lb),
+                rounds=np.int64(rounds),
+                nodes=np.int64(m.counters.get("se3_nodes", 0)),
+            )
+            os.replace(tmp, p.checkpoint_path)
+
+        def dispatch():
+            """Pop → split → launch one fused device round (async)."""
+            pay, _, _ = frontier.pop_best(p.se3_pop)
+            B = pay.shape[0]
+            r_s, t_s = pay[:, 3], pay[:, 7]
+
+            # split the dimension with the larger uncertainty radius
+            g_rot = 2.0 * np.sin(
+                np.minimum(_SQRT3 * r_s, np.pi) / 2.0
+            ) * mean_norm
+            g_tr = _SQRT3 * t_s
+            can_rot = r_s / 2.0 >= rot_floor
+            split_rot = ((g_rot >= g_tr) | (t_s / 2.0 < trans_floor)) & can_rot
+            is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
+
+            child = np.repeat(pay, 8, axis=0)          # [8B, 8]
+            oct8 = np.tile(_OCTANTS, (B, 1))           # [8B, 3]
+            sr = np.repeat(split_rot, 8)
+            lf = np.repeat(is_leaf, 8)
+            half_r = np.repeat(r_s, 8) / 2.0
+            child[sr, 0:3] += oct8[sr] * half_r[sr, None]
+            child[sr, 3] = half_r[sr]
+            half_t = np.repeat(t_s, 8) / 2.0
+            tsel = ~sr & ~lf
+            child[tsel, 4:7] += oct8[tsel] * half_t[tsel, None]
+            child[tsel, 7] = half_t[tsel]
+            # leaves: keep only one copy (slot 0 of each 8-block)
+            keep_child = np.ones(8 * B, bool)
+            if lf.any():
+                keep_child &= ~lf | (np.arange(8 * B) % 8 == 0)
+            # rotation-ball validity (jly_goicp.cpp:443-446)
+            keep_child &= self.rotparam.valid(child[:, 0:3], child[:, 3])
+            child = child[keep_child]
+            lf = lf[keep_child]
+            C = child.shape[0]
+            if C == 0:
+                return None
+            m.count("se3_nodes", C)
+
+            padn = M_cap - C
+            R_c = self.rotparam.rotation(child[:, 0:3])
+            ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3]).astype(
+                np.float32
+            )
+            out = se3_round(
+                self._src_dev,
+                self.ev.norms,
+                self.grid,
+                self._tgt_dev,
+                jnp.float32(0.0 if self._backend == "exact" else self.ev.slack),
+                jnp.asarray(
+                    np.concatenate(
+                        [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
+                    )
+                ),
+                jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)])),
+                jnp.asarray(
+                    np.concatenate([child[:, 4:7], np.zeros((padn, 3), np.float32)])
+                ),
+                jnp.asarray(np.concatenate([child[:, 7], np.zeros(padn, np.float32)])),
+                jnp.asarray(np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])),
+                h=(self.ev.h if p.trim_fraction > 0 else 0),
+                lookup=p.lookup,
+                backend=self._backend,
+                tile=p.point_tile,
+                tgt_tile=256,
+                refine_k=p.refine_top_k,
+                icp_params=self._icp_params,
+                icp_backend=self._icp_backend,
+            )
+            return {"child": child, "lf": lf, "R_c": R_c, "C": C, "out": out}
+
+        def absorb(work):
+            """Fetch one round's results; update incumbent, prune, push."""
+            nonlocal best_R, best_t, best_sse, leaf_lb, converged
+            child, lf, R_c, C = work["child"], work["lf"], work["R_c"], work["C"]
+            ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = jax.device_get(work["out"])
+            ub_c, lb_c = ub_d[:C], lb_d[:C]
+            m.count("icp_iters", int(it_ref.sum()))
+
+            j = int(np.argmin(sse_ref))
+            if float(sse_ref[j]) < best_sse:
+                best_sse = float(sse_ref[j])
+                best_R, best_t = R_ref[j], t_ref[j]
+                frontier.prune(best_sse - self.sse_thresh)
+                self.log.info(
+                    "round %d: new best sse=%.6g (mse=%.6g)",
+                    rounds,
+                    best_sse,
+                    best_sse / self.ev.h,
+                )
+            j = int(np.argmin(ub_c))
+            if float(ub_c[j]) < best_sse:
+                best_sse = float(ub_c[j])
+                best_R, best_t = R_c[j], child[j, 4:7]
+                frontier.prune(best_sse - self.sse_thresh)
+
+            alive = lb_c < best_sse - self.sse_thresh
+            if (alive & lf).any():
+                leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
+            keep = alive & ~lf
+            if keep.any():
+                frontier.push(child[keep], lb_c[keep], ub_c[keep])
+
+            if best_sse <= self.sse_thresh:
+                converged = True
+            if p.checkpoint_path and rounds % max(p.checkpoint_every, 1) == 0:
+                save_checkpoint()
+            if rounds % 10 == 0:
+                self.log.info(
+                    "round %d: best=%.5g frontier=%d min_lb=%.4g leaf_lb=%.4g",
+                    rounds,
+                    best_sse,
+                    len(frontier),
+                    frontier.min_lb(),
+                    leaf_lb,
+                )
+            self.progress.publish(
+                SolverState(
+                    opt_R=best_R,
+                    opt_t=best_t,
+                    cur_R=R_c[0],
+                    cur_t=child[0, 4:7],
+                    best_sse=best_sse,
+                    gap=best_sse - min(frontier.min_lb(), leaf_lb),
+                    finished=False,
+                    rot_nodes=int(m.counters.get("se3_nodes", 0)),
+                    trans_nodes=int(m.counters.get("se3_nodes", 0)),
+                    round=rounds,
+                )
+            )
+
+        # Two rounds in flight: round k+1 is dispatched (pops a *disjoint*
+        # slice of the frontier) before round k's results are fetched, hiding
+        # the host↔device round trip.  Slight staleness in incumbent-driven
+        # pruning, zero loss of correctness: every node is still evaluated.
+        pending = None
         with m.phase("bnb"):
-            while not converged and len(frontier) and rounds < p.max_rounds:
-                gap_lb = min(frontier.min_lb(), leaf_lb)
-                if best_sse - gap_lb <= self.sse_thresh:
-                    converged = True
-                    break
-                rounds += 1
-                pay, _, _ = frontier.pop_best(p.se3_pop)
-                B = pay.shape[0]
-                r_c, r_s = pay[:, 0:3], pay[:, 3]
-                t_c, t_s = pay[:, 4:7], pay[:, 7]
-
-                # split the dimension with the larger uncertainty radius
-                g_rot = 2.0 * np.sin(
-                    np.minimum(_SQRT3 * r_s, np.pi) / 2.0
-                ) * mean_norm
-                g_tr = _SQRT3 * t_s
-                split_rot = (g_rot >= g_tr) & (r_s / 2.0 >= rot_floor)
-                split_rot |= t_s / 2.0 < trans_floor  # other dim floored
-                can_rot = r_s / 2.0 >= rot_floor
-                split_rot &= can_rot
-                # leaves: both dimensions at floor — handled below (re-eval
-                # cheap; their lb was already ≥ push threshold)
-                is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
-
-                child = np.repeat(pay, 8, axis=0)          # [8B, 8]
-                oct8 = np.tile(_OCTANTS, (B, 1))           # [8B, 3]
-                sr = np.repeat(split_rot, 8)
-                lf = np.repeat(is_leaf, 8)
-                # rotation split
-                half_r = np.repeat(r_s, 8) / 2.0
-                child[sr, 0:3] += oct8[sr] * half_r[sr, None]
-                child[sr, 3] = half_r[sr]
-                # translation split
-                half_t = np.repeat(t_s, 8) / 2.0
-                tsel = ~sr & ~lf
-                child[tsel, 4:7] += oct8[tsel] * half_t[tsel, None]
-                child[tsel, 7] = half_t[tsel]
-                # leaves: keep only one copy (slot 0 of each 8-block)
-                keep_child = np.ones(8 * B, bool)
-                if lf.any():
-                    keep_child &= ~lf | (np.arange(8 * B) % 8 == 0)
-                # rotation-ball validity (jly_goicp.cpp:443-446)
-                keep_child &= self.rotparam.valid(child[:, 0:3], child[:, 3])
-                child = child[keep_child]
-                lf = lf[keep_child]
-                C = child.shape[0]
-                if C == 0:
-                    continue
-                m.count("se3_nodes", C)
-
-                padn = M_cap - C
-                R_c = self.rotparam.rotation(child[:, 0:3])
-                ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3]).astype(
-                    np.float32
-                )
-                # ONE dispatch: bounds for all children + batched ICP of the
-                # refine_top_k best — then one bulk fetch
-                out = se3_round(
-                    self._src_dev,
-                    self.ev.norms,
-                    self.grid,
-                    self._tgt_dev,
-                    jnp.float32(0.0 if self._backend == "exact" else self.ev.slack),
-                    jnp.asarray(
-                        np.concatenate(
-                            [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
-                        )
-                    ),
-                    jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)])),
-                    jnp.asarray(
-                        np.concatenate([child[:, 4:7], np.zeros((padn, 3), np.float32)])
-                    ),
-                    jnp.asarray(np.concatenate([child[:, 7], np.zeros(padn, np.float32)])),
-                    jnp.asarray(np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])),
-                    h=(self.ev.h if p.trim_fraction > 0 else 0),
-                    lookup=p.lookup,
-                    backend=self._backend,
-                    tile=p.point_tile,
-                    tgt_tile=256,
-                    refine_k=p.refine_top_k,
-                    icp_params=self._icp_params,
-                    icp_backend=self._icp_backend,
-                )
-                ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = jax.device_get(out)
-                ub_c = ub_d[:C]
-                lb_c = lb_d[:C]
-                m.count("icp_iters", int(it_ref.sum()))
-
-                j = int(np.argmin(sse_ref))
-                if float(sse_ref[j]) < best_sse:
-                    best_sse = float(sse_ref[j])
-                    best_R, best_t = R_ref[j], t_ref[j]
-                    frontier.prune(best_sse - self.sse_thresh)
-                    self.log.info(
-                        "round %d: new best sse=%.6g (mse=%.6g)",
-                        rounds,
-                        best_sse,
-                        best_sse / self.ev.h,
-                    )
-                j = int(np.argmin(ub_c))
-                if float(ub_c[j]) < best_sse:
-                    best_sse = float(ub_c[j])
-                    best_R, best_t = R_c[j], child[j, 4:7]
-                    frontier.prune(best_sse - self.sse_thresh)
-
-                alive = lb_c < best_sse - self.sse_thresh
-                if (alive & lf).any():
-                    leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
-                keep = alive & ~lf
-                if keep.any():
-                    frontier.push(child[keep], lb_c[keep], ub_c[keep])
-
-                if best_sse <= self.sse_thresh:
-                    converged = True
-                if rounds % 10 == 0:
-                    self.log.info(
-                        "round %d: best=%.5g frontier=%d min_lb=%.4g leaf_lb=%.4g",
-                        rounds,
-                        best_sse,
-                        len(frontier),
-                        frontier.min_lb(),
-                        leaf_lb,
-                    )
-                self.progress.publish(
-                    SolverState(
-                        opt_R=best_R,
-                        opt_t=best_t,
-                        cur_R=R_c[0],
-                        cur_t=child[0, 4:7],
-                        best_sse=best_sse,
-                        gap=best_sse - min(frontier.min_lb(), leaf_lb),
-                        finished=False,
-                        rot_nodes=int(m.counters.get("se3_nodes", 0)),
-                        trans_nodes=int(m.counters.get("se3_nodes", 0)),
-                        round=rounds,
-                    )
-                )
+            while True:
+                work = None
+                if rounds < p.max_rounds and len(frontier) and not converged:
+                    if pending is None:
+                        # gap test only in a settled state: with a round in
+                        # flight the frontier is temporarily drained and
+                        # min_lb would spuriously read +inf
+                        gap_lb = min(frontier.min_lb(), leaf_lb)
+                        if best_sse - gap_lb <= self.sse_thresh:
+                            converged = True
+                    if not converged:
+                        rounds += 1
+                        work = dispatch()
+                if pending is not None:
+                    absorb(pending)
+                pending = work
+                if pending is None:
+                    gap_lb = min(frontier.min_lb(), leaf_lb)
+                    if (
+                        converged
+                        or best_sse - gap_lb <= self.sse_thresh
+                        or not len(frontier)
+                        or rounds >= p.max_rounds
+                    ):
+                        if (
+                            best_sse - gap_lb <= self.sse_thresh
+                            or not len(frontier)
+                        ):
+                            converged = True
+                        break
 
         if not len(frontier) and not converged:
             converged = True

@@ -211,6 +211,10 @@ class BnbParams:
                                      # | "nested" (≙ the reference's outer
                                      # SO(3) / inner R³ structure)
     se3_pop: int = 2048              # SE(3) nodes popped per round (×8 children)
+    checkpoint_path: Optional[str] = None   # frontier+incumbent snapshots;
+                                     # restart-based recovery (SURVEY §5:
+                                     # the reference has none)
+    checkpoint_every: int = 50       # rounds between snapshots
 
 
 @dataclasses.dataclass
