@@ -61,9 +61,26 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def exact_correspondence(targets) -> Callable:
-    """Correspondence closure: exact brute-force NN against ``targets [Nt,3]``."""
+def exact_correspondence(targets, use_pallas: Optional[bool] = None) -> Callable:
+    """Correspondence closure: exact brute-force NN against ``targets [Nt,3]``.
+
+    ``use_pallas=True`` routes through the fused VMEM-resident kernel
+    (``goicp_tpu.nn.pallas_nn``); default (None) consults the
+    ``GOICP_TPU_PALLAS`` env switch (off unless set — the XLA path is the
+    portable baseline)."""
+    import os
+
     targets = jnp.asarray(targets, jnp.float32)
+    if use_pallas is None:
+        use_pallas = os.environ.get("GOICP_TPU_PALLAS", "0") == "1"
+    if use_pallas:
+        from goicp_tpu.nn.pallas_nn import nearest_neighbor_pallas
+
+        def corr(pts):
+            d2, idx = nearest_neighbor_pallas(pts, targets)
+            return jnp.take(targets, idx, axis=0), d2
+
+        return corr
 
     def corr(pts):
         d2, idx = nearest_neighbor(pts, targets)
