@@ -28,7 +28,7 @@ def main():
     from goicp_tpu.core.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    from goicp_tpu.bnb import BnbParams, GoIcpSolver
+    from goicp_tpu.bnb import BnbParams, make_solver
     from goicp_tpu.io import load_cloud
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bunny")
@@ -39,11 +39,12 @@ def main():
         mse_threshold=1e-3,       # test/bunny_goicp.toml mse_threshold
         grid_resolution=256,
         trans_span=0.5,           # jly translation cube (jly_goicp.cpp:50-53)
+        max_rounds=2000,
     )
 
     def solve():
         t0 = time.perf_counter()
-        res = GoIcpSolver(src, tgt, params).run()
+        res = make_solver(src, tgt, params).run()
         return time.perf_counter() - t0, res
 
     # warmup: populate jit caches (first TPU compile is 20-40 s)

@@ -131,11 +131,15 @@ def run_icp(
     corr: Callable,
     init: RigidTransform,
     params: IcpParams = IcpParams(),
+    point_weights=None,
 ) -> IcpResult:
     """Refine a batch of poses with ICP until convergence or ``max_iter``.
 
     ``src``: ``[N,3]`` source cloud; ``init``: batched ``[B]`` transforms;
-    ``corr(pts [...,N,3]) -> (dst [...,N,3], d2 [...,N])``.
+    ``corr(pts [...,N,3]) -> (dst [...,N,3], d2 [...,N])``;
+    ``point_weights``: optional ``[N]`` (or broadcastable) per-point weights
+    — 0 entries are excluded from both the Procrustes solve and the SSE
+    (used for padded clouds in multi-pair batching).
 
     Per-pose convergence: relative SSE improvement below ``rel_tol``
     (≙ ``icp3d.cu:95``: ``last_sse - sse < tol * sse``); converged poses stop
@@ -146,10 +150,21 @@ def run_icp(
     T0 = init if batched else jax.tree.map(lambda x: x[None], init)
     B = T0.t.shape[0]
     tf = params.trim_fraction
+    pw = None if point_weights is None else jnp.asarray(point_weights, jnp.float32)
+
+    def _weights(d2):
+        w = trim_weights(d2, tf) if tf > 0.0 else None
+        if pw is not None:
+            w = pw if w is None else w * pw
+        return w
 
     def sse_at(T: RigidTransform):
         pts = T.apply(src)
         _, d2 = corr(pts)
+        if pw is not None:
+            if tf > 0.0:
+                return jnp.sum(d2 * _weights(d2), axis=-1)
+            return jnp.sum(d2 * pw, axis=-1)
         return sse_of_distances(d2, tf)
 
     def cond(state):
@@ -160,7 +175,7 @@ def run_icp(
         T, sse, active, it, iters = state
         pts = T.apply(src)  # [B,N,3]
         dst, d2 = corr(pts)
-        w = trim_weights(d2, tf) if tf > 0.0 else None
+        w = _weights(d2)
         R_d, t_d = procrustes(pts, dst, weights=w)
         delta = RigidTransform(R_d, t_d)
         T_new = delta.compose(T)  # ≙ icp3d.cu:99-100 update order

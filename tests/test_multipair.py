@@ -1,0 +1,55 @@
+"""Batched multi-pair registration (pod-scale serving surface)."""
+
+import numpy as np
+import pytest
+
+from goicp_tpu.bnb import BnbParams
+from goicp_tpu.core.types import RigidTransform
+from goicp_tpu.icp import IcpParams
+from goicp_tpu.multipair import icp_pairs, register_pairs
+from tests.conftest import random_rotation
+
+
+def _pair(rng, n, angle=0.1):
+    src = (rng.random((n, 3)).astype(np.float32) - 0.5) * 0.6
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    from goicp_tpu.geo.rotation import axis_angle_rotation
+    import jax.numpy as jnp
+
+    R = np.asarray(axis_angle_rotation(jnp.asarray((axis * angle).astype(np.float32))))
+    t = (rng.random(3).astype(np.float32) - 0.5) * 0.1
+    return src, (src @ R.T + t).astype(np.float32), R, t
+
+
+def test_icp_pairs_mixed_sizes(rng):
+    pairs, gts = [], []
+    for n in (150, 230, 310):
+        s, t, R, tv = _pair(rng, n)
+        pairs.append((s, t))
+        gts.append((R, tv))
+    T, sse, iters = icp_pairs(pairs, params=IcpParams(max_iter=80, rel_tol=1e-6))
+    for b, ((s, t), (R, tv)) in enumerate(zip(pairs, gts)):
+        Rb = np.asarray(T.R)[b]
+        tb = np.asarray(T.t)[b]
+        pts = s @ Rb.T + tb
+        rmse = float(np.sqrt(np.mean(np.sum((pts - t) ** 2, axis=1))))
+        assert rmse < 1e-3, (b, rmse)
+
+
+def test_register_pairs_global(rng):
+    pairs, gts = [], []
+    for i in range(2):
+        src = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6
+        R = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+        pairs.append((src, (src @ R.T + t).astype(np.float32)))
+        gts.append((R, t))
+    results = register_pairs(
+        pairs,
+        BnbParams(mse_threshold=1e-5, se3_pop=64, max_rounds=200),
+    )
+    for (s, t), res in zip(pairs, results):
+        pts = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        rmse = float(np.sqrt(np.mean(np.sum((pts - t) ** 2, axis=1))))
+        assert rmse < 2e-3
