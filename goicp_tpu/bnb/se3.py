@@ -52,6 +52,36 @@ _PREC = jax.lax.Precision.HIGHEST
 _INF = jnp.float32(np.inf)
 
 
+def _trimmed_sum_bisect(x, h: int, upper: bool, iters: int = 24):
+    """Sum of the ``h`` smallest entries per row of ``x [M, Np]`` by
+    bisection on a value threshold τ: after ``iters`` halvings,
+
+        S(τ_lo) + (h − C(τ_lo))·τ_lo  ≤  trimmed_h  ≤  S(τ_lo) + (h − C(τ_lo))·τ_hi
+
+    where ``S/C`` are the masked sum/count at the threshold.  ``upper``
+    selects which side to return, so upper-bound objectives stay upper
+    bounds and lower-bound objectives stay lower bounds.  Cost: ``iters``
+    cheap masked reductions — no sort, no top_k.
+    """
+    rowmax = jnp.max(jnp.where(x < 1e29, x, 0.0), axis=-1)  # ignore pad inf
+    lo = jnp.zeros_like(rowmax)
+    hi = rowmax + 1e-12
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x <= mid[:, None]).astype(jnp.float32), axis=-1)
+        take = cnt >= h
+        return (jnp.where(take, lo, mid), jnp.where(take, mid, hi)), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=iters)
+    sel = x <= lo[:, None]
+    S = jnp.sum(jnp.where(sel, x, 0.0), axis=-1)
+    C = jnp.sum(sel.astype(jnp.float32), axis=-1)
+    rem = jnp.maximum(h - C, 0.0)
+    return S + rem * (hi if upper else lo)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("h", "lookup", "backend", "tile", "tgt_tile"),
@@ -105,7 +135,7 @@ def evaluate_se3_nodes(
     pm_t = pt_mask.reshape(n_tiles, tile)
 
     def tile_body(carry, xs):
-        (s_ub, s_lb), (top_ub, top_lb) = carry
+        s_ub, s_lb = carry
         s_tile, g_tile, m_tile = xs                        # [tile,3],[M,tile],[tile]
         pts = (
             jnp.einsum("mij,tj->mti", R, s_tile, precision=_PREC)
@@ -137,22 +167,24 @@ def evaluate_se3_nodes(
         s_ub = s_ub + jnp.sum(ub_c, axis=-1)
         s_lb = s_lb + jnp.sum(lb_c, axis=-1)
         if drop:
-            top_ub = _merge_top(top_ub, ub_c, drop)
-            top_lb = _merge_top(top_lb, lb_c, drop)
-        return ((s_ub, s_lb), (top_ub, top_lb)), None
+            # padding must never occupy inlier slots of the trimmed sums
+            inf_pad = (1.0 - m_tile) * 1e30
+            return (s_ub, s_lb), (ub_c + inf_pad, lb_c + inf_pad)
+        return (s_ub, s_lb), None
 
     zero = jnp.zeros((M,), jnp.float32)
-    tops0 = (
-        (jnp.full((M, drop), -_INF), jnp.full((M, drop), -_INF))
-        if drop
-        else (zero[:, None], zero[:, None])
-    )
-    ((s_ub, s_lb), (top_ub, top_lb)), _ = jax.lax.scan(
-        tile_body, ((zero, zero), tops0), (src_t, gr_t, pm_t)
+    (s_ub, s_lb), stored = jax.lax.scan(
+        tile_body, (zero, zero), (src_t, gr_t, pm_t)
     )
     if drop:
-        s_ub = s_ub - jnp.sum(jnp.maximum(top_ub, 0.0), axis=-1)
-        s_lb = s_lb - jnp.sum(jnp.maximum(top_lb, 0.0), axis=-1)
+        # Exact trimmed sums by threshold bisection over the STORED
+        # contributions (≙ intro_select, jly_sorting.hpp:229 — but O(N) per
+        # pass and fully vectorized; the top_k-merge alternative is
+        # O(N·drop) per node and melts at large trim counts).
+        c_ub = stored[0].swapaxes(0, 1).reshape(M, -1)      # [M, Np]
+        c_lb = stored[1].swapaxes(0, 1).reshape(M, -1)
+        s_ub = _trimmed_sum_bisect(c_ub, h, upper=True)
+        s_lb = _trimmed_sum_bisect(c_lb, h, upper=False)
     return jnp.where(mask, s_ub, _INF), jnp.where(mask, s_lb, _INF)
 
 
@@ -413,10 +445,27 @@ class GoIcpSolverSE3(GoIcpSolver):
         # the host↔device round trip.  Slight staleness in incumbent-driven
         # pruning, zero loss of correctness: every node is still evaluated.
         pending = None
+        budget_exceeded = False
         with m.phase("bnb"):
             while True:
+                if (
+                    not budget_exceeded
+                    and time.perf_counter() - t_start > p.max_wall_s
+                ):
+                    budget_exceeded = True
+                    self.log.warning(
+                        "wall budget %.0fs exceeded at round %d (gap %.4g)",
+                        p.max_wall_s,
+                        rounds,
+                        best_sse - min(frontier.min_lb(), leaf_lb),
+                    )
                 work = None
-                if rounds < p.max_rounds and len(frontier) and not converged:
+                if (
+                    rounds < p.max_rounds
+                    and len(frontier)
+                    and not converged
+                    and not budget_exceeded
+                ):
                     if pending is None:
                         # gap test only in a settled state: with a round in
                         # flight the frontier is temporarily drained and
@@ -437,6 +486,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                         or best_sse - gap_lb <= self.sse_thresh
                         or not len(frontier)
                         or rounds >= p.max_rounds
+                        or budget_exceeded
                     ):
                         if (
                             best_sse - gap_lb <= self.sse_thresh
@@ -447,6 +497,29 @@ class GoIcpSolverSE3(GoIcpSolver):
 
         if not len(frontier) and not converged:
             converged = True
+
+        # final full-resolution polish when the BnB solved on a subset
+        if self.src_full.shape[0] > self.src.shape[0]:
+            from goicp_tpu.bnb.solver import _exact_icp, _grid_icp
+
+            with m.phase("icp"):
+                full = jnp.asarray(self.src_full)
+                if self._icp_backend == "exact":
+                    pres = _exact_icp(
+                        full, self._tgt_dev,
+                        jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
+                        self._icp_params,
+                    )
+                else:
+                    pres = _grid_icp(
+                        full, self.grid, self._tgt_dev,
+                        jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
+                        self._icp_params,
+                    )
+                best_R = np.asarray(pres.transform.R)[0]
+                best_t = np.asarray(pres.transform.t)[0]
+                m.counters["full_polish_sse"] = float(np.asarray(pres.sse)[0])
+                m.count("icp_iters", int(np.asarray(pres.iters)[0]))
 
         gap = best_sse - min(frontier.min_lb(), leaf_lb)
         wall = time.perf_counter() - t_start

@@ -169,7 +169,8 @@ class BnbParams:
     lookup: str = "nearest"       # ≙ jly dt.Distance (no interp); half the
                                      # slack of trilinear and 1 gather not 8
     grid_resolution: int = 256
-    grid_expand: float = 2.0
+    grid_expand: float = 1.5         # tighter than jly's 2.0: smaller cells
+                                     # (outside queries use escape bounds)
     grid_method: str = "edt"         # "edt" (O(n^4), ≙ jly DT3D) | "brute"
                                      # (exact, O(n^3·Nt), ≙ buildLUTKernel)
     job_cap: int = 2048              # jobs per device step (ref: 1/stream)
@@ -190,6 +191,13 @@ class BnbParams:
     bound_backend: str = "auto"      # "exact" (brute, slack-free) | "grid" |
                                      # "auto": exact when the target cloud is
                                      # small enough to stream (≤ exact_max)
+    bound_points: int = 8192         # BnB solves on at most this many source
+                                     # points (deterministic subset); the
+                                     # final pose is ICP-polished on the full
+                                     # cloud.  Same spirit as the reference's
+                                     # own subsample knob (common.cpp:110-132)
+                                     # — the ε-certificate applies to the
+                                     # solve subset.
     exact_max: int = 512             # auto-backend target-size cutoff: exact
                                      # bounds lose to O(1) grid lookups once
                                      # node_count×N×Nt dominates (the same
@@ -205,8 +213,21 @@ class BnbParams:
     icp_max_iter: int = 100
     icp_rel_tol: float = 1e-4
     icp_cap: int = 64                # max candidates refined per batched ICP
-    conservative: bool = True        # certify lbs against grid discretization
+    conservative: bool = False       # True: deflate lbs by the grid
+                                     # discretization error → rigorous
+                                     # ε-optimality certificates (no
+                                     # reference counterpart). False
+                                     # (default): reference parity — jly and
+                                     # fgoicp both ignore the ~cell-sized DT
+                                     # error (jly_3ddt.cpp:925 comment), so
+                                     # their ε-guarantee is modulo grid
+                                     # accuracy; matching that costs nothing
+                                     # in practice and prunes ~2-5× harder
     max_rounds: int = 10_000
+    max_wall_s: float = 300.0        # wall-clock budget for the BnB phase;
+                                     # on expiry the incumbent is returned
+                                     # with converged=False and the true gap
+                                     # (the reference can only be ^C'd)
     engine: str = "se3"              # "se3" (flat product-space BnB, TPU-native)
                                      # | "nested" (≙ the reference's outer
                                      # SO(3) / inner R³ structure)
@@ -359,12 +380,25 @@ class GoIcpSolver:
         params: BnbParams = BnbParams(),
         progress: Optional[ProgressBus] = None,
     ):
-        self.src = np.asarray(src, np.float32)
+        self.src_full = np.asarray(src, np.float32)
+        self.src = self.src_full
         self.tgt = np.asarray(tgt, np.float32)
         self.p = params
         self.progress = progress or ProgressBus()
         self.metrics = Metrics()
         self.log = get_logger()
+        if self.src.shape[0] > params.bound_points:
+            # deterministic thinning for the solve; full cloud kept for the
+            # final polish (≙ the reference's subsample, but recoverable)
+            idx = np.random.default_rng(777).choice(
+                self.src.shape[0], params.bound_points, replace=False
+            )
+            self.src = self.src_full[np.sort(idx)]
+            self.log.info(
+                "BnB solves on %d of %d source points (bound_points cap)",
+                self.src.shape[0],
+                self.src_full.shape[0],
+            )
 
         # exact bounds beat the grid when the target cloud streams through
         # VMEM (≙ the reference's own brute-force-beats-kd-tree finding,

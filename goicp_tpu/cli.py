@@ -57,11 +57,13 @@ def bnb_params_from_config(cfg: Config) -> BnbParams:
         rot_pop=t.rot_batch,
         min_rot_span=t.min_rot_span,
         min_trans_span=t.min_trans_span,
+        se3_pop=t.se3_pop,
         trans_span=cfg.translation.span,
         trans_center=cfg.translation.center,
         icp_refine_factor=t.icp_refine_factor,
         icp_max_iter=t.icp_max_iter,
         icp_rel_tol=t.icp_rel_tol,
+        max_wall_s=t.max_wall_s,
     )
 
 

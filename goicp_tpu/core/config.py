@@ -84,16 +84,18 @@ class TpuConfig:
     """Framework-specific knobs (no reference counterpart)."""
 
     grid_resolution: int = 256      # distance-field resolution (ref LUT n=300, registration.hpp:69)
-    grid_expand: float = 2.0        # domain expansion around target bbox (ref dt.expandFactor, jly_goicp.cpp:57)
+    grid_expand: float = 1.5        # domain expansion around target bbox (ref dt.expandFactor=2, jly_goicp.cpp:57)
     trans_batch: int = 64           # translation nodes popped per device round (ref: 1, fgoicp.cpp:127)
-    rot_batch: int = 8              # rotation nodes expanded per outer round (ref: 1)
-    min_rot_span: float = 0.05     # subdivision floor, quaternion cube (ref 0.1, fgoicp.cpp:53)
-    min_trans_span: float = 0.03   # subdivision floor, R^3 (ref 0.12, fgoicp.cpp:160)
+    rot_batch: int = 16             # rotation nodes expanded per outer round (ref: 1)
+    se3_pop: int = 2048             # SE(3) nodes popped per fused round
+    min_rot_span: float = 0.0      # 0 = no floor; ε-pruning self-limits depth
+    min_trans_span: float = 0.0    # 0 = no floor (ref 0.12, fgoicp.cpp:160)
     icp_max_iter: int = 128         # ref: 1000 initial / 500 refine (fgoicp.cpp:11,77)
     icp_rel_tol: float = 1e-3       # ref convergence_threshold (fgoicp.cpp:11)
     rotation_param: str = "axis_angle"  # "axis_angle" (jly, uniform bound) | "quaternion" (fgoicp)
-    lookup: str = "trilinear"       # "trilinear" (ref tex3D) | "nearest" (ref CPU DT)
+    lookup: str = "nearest"         # "nearest" (ref CPU DT) | "trilinear" (ref tex3D)
     seed: int = 0                   # subsampling RNG seed (ref uses random_device)
+    max_wall_s: float = 300.0       # BnB wall-clock budget per scenario
     mesh_points: int = 1            # device-mesh extent over the point axis
     mesh_cubes: int = 1             # device-mesh extent over the cube axis
     icp_refine_factor: float = 2.0  # run ICP when ub < factor*best (ref fgoicp.cpp:75)

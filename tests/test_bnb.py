@@ -164,3 +164,19 @@ def test_goicp_trimmed_with_outliers():
     pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
     rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
     assert rmse < 5e-3, (rmse, res.sse, res.converged)
+
+
+def test_trimmed_sum_bisect_matches_sort(rng):
+    from goicp_tpu.bnb.se3 import _trimmed_sum_bisect
+    import jax.numpy as jnp
+
+    x = (rng.random((6, 500)).astype(np.float32)) ** 2 * 3.0
+    x[:, 480:] = 1e30  # padding sentinels must never count as inliers
+    for h in (1, 100, 400, 480):
+        lo = np.asarray(_trimmed_sum_bisect(jnp.asarray(x), h, upper=False))
+        hi = np.asarray(_trimmed_sum_bisect(jnp.asarray(x), h, upper=True))
+        want = np.sort(x, axis=1)[:, :h].sum(1)
+        assert np.all(lo <= want + 1e-3), (h, lo - want)
+        assert np.all(hi >= want - 1e-3), (h, want - hi)
+        assert np.allclose(lo, want, rtol=1e-3, atol=1e-3)
+        assert np.allclose(hi, want, rtol=1e-3, atol=1e-3)

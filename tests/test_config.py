@@ -62,7 +62,7 @@ rotation_param = "axis_angle"
     assert cfg.tpu.grid_resolution == 128
     assert cfg.tpu.trans_batch == 32
     assert cfg.tpu.rotation_param == "axis_angle"
-    assert cfg.tpu.lookup == "trilinear"  # default
+    assert cfg.tpu.lookup == "nearest"  # default (ref CPU DT semantics)
 
 
 def test_effective_trim_fraction():

@@ -74,6 +74,16 @@ def main():
         0.0,
         seed=2,
     )
+    # skull: the reference scenario's model_skull.ply is not shipped in
+    # data/; regenerate it as a known rigid transform of the data scan
+    make(
+        "model_skull.ply",
+        "artec3d/data_skull.ply",
+        rot_xyz(*rng.uniform(0, 2 * np.pi, 3)),
+        np.array([-8.0, 12.0, 5.0], np.float32),
+        0.0,
+        seed=4,
+    )
     # bunny PLY pair with exact ground truth (for RMSE regression tests)
     make(
         "rotated_bunny.ply",
