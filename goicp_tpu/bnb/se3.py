@@ -265,7 +265,10 @@ class GoIcpSolverSE3(GoIcpSolver):
         leaf_lb = float("inf")
         rounds = 0
         converged = best_sse <= self.sse_thresh
-        M_cap = 8 * p.se3_pop
+        se3_pop = p.se3_pop or max(
+            64, min(2048, int(32e6 / (8 * self.src.shape[0])))
+        )
+        M_cap = 8 * se3_pop
 
         # resume from a frontier snapshot (restart-based recovery; the BnB
         # state is exactly {frontier, incumbent, counters} — SURVEY §5)
@@ -310,7 +313,7 @@ class GoIcpSolverSE3(GoIcpSolver):
 
         def dispatch():
             """Pop → split → launch one fused device round (async)."""
-            pay, _, _ = frontier.pop_best(p.se3_pop)
+            pay, _, _ = frontier.pop_best(se3_pop)
             B = pay.shape[0]
             r_s, t_s = pay[:, 3], pay[:, 7]
 

@@ -231,7 +231,9 @@ class BnbParams:
     engine: str = "se3"              # "se3" (flat product-space BnB, TPU-native)
                                      # | "nested" (≙ the reference's outer
                                      # SO(3) / inner R³ structure)
-    se3_pop: int = 2048              # SE(3) nodes popped per round (×8 children)
+    se3_pop: int = 0                 # SE(3) nodes popped per round (×8
+                                     # children); 0 = auto-scale so each
+                                     # round stays ~32M point-node pairs
     checkpoint_path: Optional[str] = None   # frontier+incumbent snapshots;
                                      # restart-based recovery (SURVEY §5:
                                      # the reference has none)

@@ -183,8 +183,22 @@ def main(argv=None) -> int:
     )
     ap.add_argument("config", help="scenario TOML (reference-compatible schema)")
     ap.add_argument("--output", default=None, help="artifact directory (default: cwd)")
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the solve into DIR",
+    )
     args = ap.parse_args(argv)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     out = run_scenario(args.config, args.output)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
     print(
         f"mode={out['scenario']} mse={out['mse']:.6g} sse={out['sse']:.6g} "
         f"converged={out['converged']} wall={out['wall_s']:.2f}s"

@@ -87,7 +87,7 @@ class TpuConfig:
     grid_expand: float = 1.5        # domain expansion around target bbox (ref dt.expandFactor=2, jly_goicp.cpp:57)
     trans_batch: int = 64           # translation nodes popped per device round (ref: 1, fgoicp.cpp:127)
     rot_batch: int = 16             # rotation nodes expanded per outer round (ref: 1)
-    se3_pop: int = 2048             # SE(3) nodes popped per fused round
+    se3_pop: int = 0                # SE(3) nodes per fused round (0 = auto)
     min_rot_span: float = 0.0      # 0 = no floor; ε-pruning self-limits depth
     min_trans_span: float = 0.0    # 0 = no floor (ref 0.12, fgoicp.cpp:160)
     icp_max_iter: int = 128         # ref: 1000 initial / 500 refine (fgoicp.cpp:11,77)

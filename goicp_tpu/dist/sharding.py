@@ -147,6 +147,58 @@ def sharded_sse(mesh: Mesh, grid: DistanceGrid, *, trim_drop: int = 0, lookup: s
     return sse
 
 
+def sharded_evaluate_se3(
+    mesh: Mesh,
+    grid: DistanceGrid,
+    *,
+    trim_drop: int = 0,
+    lookup: str = "nearest",
+    slack: float = 0.0,
+):
+    """Sharded SE(3) node evaluation: the multi-chip form of
+    ``bnb.se3.evaluate_se3_nodes`` — nodes over the ``cubes`` axis, source
+    points over ``points`` with ``psum``-reduced (trimmed) bound sums.
+
+    Returns ``step(src, norms, R, max_angle, t_c, t_span, mask) -> (ub, lb)``.
+    """
+
+    def kernel(src, norms, R, max_angle, t_c, t_span, mask):
+        pts = (
+            jnp.einsum("mij,nj->mni", R, src, precision=_PREC)
+            + t_c[:, None, :]
+        )
+        d, esc = _local_distance(grid, pts, lookup)
+        d_lo = jnp.maximum(d - esc - slack, 0.0)
+        d_hi = d + esc + slack
+        gamma_r = rotation_displacement(max_angle, norms)
+        gamma_t = (_SQRT3 * t_span)[:, None]
+        ub_c = d_hi**2
+        lb_c = jnp.maximum(d_lo - gamma_r - gamma_t, 0.0) ** 2
+        ub = _psum_trimmed(ub_c, trim_drop, "points")
+        lb = _psum_trimmed(lb_c, trim_drop, "points")
+        inf = jnp.float32(np.inf)
+        return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
+
+    jobs = P("cubes")
+    return jax.jit(
+        jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(
+                P("points", None),
+                P("points"),
+                P("cubes", None, None),
+                jobs,
+                P("cubes", None),
+                jobs,
+                jobs,
+            ),
+            out_specs=(jobs, jobs),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_icp_step(mesh: Mesh, grid: DistanceGrid, targets, *, trim_drop: int = 0):
     """One sharded ICP iteration over a batch of poses.
 
