@@ -55,8 +55,14 @@ def bnb_params_from_config(cfg: Config) -> BnbParams:
         grid_expand=t.grid_expand,
         job_cap=t.trans_batch * 32,
         rot_pop=t.rot_batch,
-        min_rot_span=t.min_rot_span,
-        min_trans_span=t.min_trans_span,
+        # honor [params.rotation/translation].search_depth — the reference
+        # parses these into its Config but never uses them (SURVEY §2 C2);
+        # depth d ⇒ subdivision floor at root_span / 2^d
+        min_rot_span=max(t.min_rot_span, 2.0 ** -cfg.rotation.search_depth),
+        min_trans_span=max(
+            t.min_trans_span,
+            cfg.translation.span * 2.0 ** -cfg.translation.search_depth,
+        ),
         se3_pop=t.se3_pop,
         trans_span=cfg.translation.span,
         trans_center=cfg.translation.center,

@@ -96,3 +96,14 @@ def test_trilinear_interpolates_smoothly(rng):
     err_near = np.abs(np.sqrt(np.maximum(np.asarray(v_near), 0)) - np.sqrt(ref))
     assert err_tri.max() <= np.sqrt(3) * cell + 1e-5
     assert err_near.max() <= np.sqrt(3) / 2 * cell + 1e-5
+
+
+def test_kdtree_oracle_matches_brute(rng):
+    from goicp_tpu.nn.kdtree import KDTree
+
+    t = rng.normal(size=(400, 3)).astype(np.float32)
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    tree = KDTree(t)
+    d, i = tree.query(q)
+    ref = _oracle_min_d2(q, t)
+    assert np.allclose(d * d, ref, rtol=1e-4, atol=1e-6)
