@@ -48,8 +48,8 @@ def make(name: str, src_rel: str, R: np.ndarray, t: np.ndarray, noise_std: float
         f.write(f'source = "{src_rel}"\nnoise_std = {noise_std!r}\nseed = {seed}\n')
         f.write("# applied: target = R @ source + t\nrotation = [\n")
         for row in R:
-            f.write(f"  [{row[0]!r}, {row[1]!r}, {row[2]!r}],\n")
-        f.write(f"]\ntranslation = [{t[0]!r}, {t[1]!r}, {t[2]!r}]\n")
+            f.write(f"  [{float(row[0])!r}, {float(row[1])!r}, {float(row[2])!r}],\n")
+        f.write(f"]\ntranslation = [{float(t[0])!r}, {float(t[1])!r}, {float(t[2])!r}]\n")
     print(f"wrote {path} ({out.shape[0]} pts) + {os.path.basename(gt)}")
 
 
