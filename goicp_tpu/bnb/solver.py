@@ -232,8 +232,8 @@ class BnbParams:
                                      # | "nested" (≙ the reference's outer
                                      # SO(3) / inner R³ structure)
     se3_pop: int = 0                 # SE(3) nodes popped per round (×8
-                                     # children); 0 = auto-scale so each
-                                     # round stays ~32M point-node pairs
+                                     # children); 0 = auto-scale the round's
+                                     # point-node pair budget
     checkpoint_path: Optional[str] = None   # frontier+incumbent snapshots;
                                      # restart-based recovery (SURVEY §5:
                                      # the reference has none)
