@@ -266,7 +266,7 @@ class GoIcpSolverSE3(GoIcpSolver):
         rounds = 0
         converged = best_sse <= self.sse_thresh
         se3_pop = p.se3_pop or max(
-            64, min(2048, int(32e6 / (8 * self.src.shape[0])))
+            64, min(4096, int(32e6 / (8 * self.src.shape[0])))
         )
         M_cap = 8 * se3_pop
 
@@ -443,12 +443,16 @@ class GoIcpSolverSE3(GoIcpSolver):
                 )
             )
 
-        # Two rounds in flight: round k+1 is dispatched (pops a *disjoint*
-        # slice of the frontier) before round k's results are fetched, hiding
-        # the host↔device round trip.  Slight staleness in incumbent-driven
-        # pruning, zero loss of correctness: every node is still evaluated.
-        pending = None
+        # Up to pipeline_depth rounds in flight: round k+d is dispatched
+        # (popping a *disjoint* frontier slice) before round k's results are
+        # fetched, hiding host↔device latency.  Staleness only weakens
+        # incumbent-driven pruning by a few rounds; every node is still
+        # evaluated, so correctness is unaffected.
+        from collections import deque
+
+        inflight = deque()
         budget_exceeded = False
+        depth = max(1, p.pipeline_depth)
         with m.phase("bnb"):
             while True:
                 if (
@@ -462,41 +466,43 @@ class GoIcpSolverSE3(GoIcpSolver):
                         rounds,
                         best_sse - min(frontier.min_lb(), leaf_lb),
                     )
-                work = None
-                if (
+                can_dispatch = (
                     rounds < p.max_rounds
                     and len(frontier)
                     and not converged
                     and not budget_exceeded
-                ):
-                    if pending is None:
-                        # gap test only in a settled state: with a round in
-                        # flight the frontier is temporarily drained and
-                        # min_lb would spuriously read +inf
-                        gap_lb = min(frontier.min_lb(), leaf_lb)
-                        if best_sse - gap_lb <= self.sse_thresh:
-                            converged = True
-                    if not converged:
-                        rounds += 1
-                        work = dispatch()
-                if pending is not None:
-                    absorb(pending)
-                pending = work
-                if pending is None:
+                )
+                if can_dispatch and not inflight:
+                    # gap test only in a settled state: with rounds in
+                    # flight the frontier is partially drained and min_lb
+                    # would spuriously read high
                     gap_lb = min(frontier.min_lb(), leaf_lb)
+                    if best_sse - gap_lb <= self.sse_thresh:
+                        converged = True
+                        can_dispatch = False
+                if can_dispatch and len(inflight) < depth:
+                    rounds += 1
+                    work = dispatch()
+                    if work is not None:
+                        inflight.append(work)
+                    continue
+                if inflight:
+                    absorb(inflight.popleft())
+                    continue
+                gap_lb = min(frontier.min_lb(), leaf_lb)
+                if (
+                    converged
+                    or best_sse - gap_lb <= self.sse_thresh
+                    or not len(frontier)
+                    or rounds >= p.max_rounds
+                    or budget_exceeded
+                ):
                     if (
-                        converged
-                        or best_sse - gap_lb <= self.sse_thresh
+                        best_sse - gap_lb <= self.sse_thresh
                         or not len(frontier)
-                        or rounds >= p.max_rounds
-                        or budget_exceeded
                     ):
-                        if (
-                            best_sse - gap_lb <= self.sse_thresh
-                            or not len(frontier)
-                        ):
-                            converged = True
-                        break
+                        converged = True
+                    break
 
         if not len(frontier) and not converged:
             converged = True

@@ -234,6 +234,8 @@ class BnbParams:
     se3_pop: int = 0                 # SE(3) nodes popped per round (×8
                                      # children); 0 = auto-scale the round's
                                      # point-node pair budget
+    pipeline_depth: int = 3          # fused rounds in flight (stale-incumbent
+                                     # tolerance buys latency hiding)
     checkpoint_path: Optional[str] = None   # frontier+incumbent snapshots;
                                      # restart-based recovery (SURVEY §5:
                                      # the reference has none)
