@@ -180,3 +180,28 @@ def test_trimmed_sum_bisect_matches_sort(rng):
         assert np.all(hi >= want - 1e-3), (h, want - hi)
         assert np.allclose(lo, want, rtol=1e-3, atol=1e-3)
         assert np.allclose(hi, want, rtol=1e-3, atol=1e-3)
+
+
+def test_nested_engine_recovers():
+    """The reference-shaped nested engine (outer SO(3) / inner R³) stays
+    functional as an alternative to the SE(3) product engine."""
+    rng = np.random.default_rng(21)
+    src = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6
+    R_true = random_rotation(rng)
+    t_true = np.array([0.08, -0.06, 0.1], np.float32)
+    tgt = (src @ R_true.T + t_true).astype(np.float32)
+    res = register(
+        src,
+        tgt,
+        BnbParams(
+            mse_threshold=1e-5,
+            engine="nested",
+            rot_pop=2,
+            inner_cap=16,
+            inner_levels=8,
+            max_rounds=40,
+        ),
+    )
+    pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+    rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
+    assert rmse < 2e-3
