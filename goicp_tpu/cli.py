@@ -167,6 +167,16 @@ def run_scenario(toml_path: str, output_dir: str | None = None) -> dict:
         extra={"scenario": out["scenario"], "n_src": out["n_src"], "n_tgt": out["n_tgt"]},
     )
     write_registration_ply(viz_path, tgt, src, out["R"], out["t"])
+    try:
+        from goicp_tpu.viz import render_png
+
+        render_png(
+            os.path.splitext(viz_path)[0] + ".png",
+            tgt, src, out["R"], out["t"],
+            phi=cfg.viz.phi, theta=cfg.viz.theta,
+        )
+    except Exception:  # matplotlib optional
+        pass
     if rec.states:
         rec.dump_csv(os.path.join(outdir, "trajectory.csv"))
     log.info(

@@ -54,6 +54,53 @@ def write_registration_ply(
     )
 
 
+def render_png(
+    path: str,
+    target: np.ndarray,
+    source: np.ndarray,
+    R: np.ndarray,
+    t: np.ndarray,
+    phi: float = 0.4,
+    theta: float = 0.0,
+    max_points: int = 20000,
+):
+    """Static orthographic snapshot (matplotlib) — the headless stand-in for
+    the reference's GL window (`window.cpp:182-227`); ``phi``/``theta`` match
+    the TOML ``[visualization]`` camera angles (`common.cpp:60-66`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    target = np.asarray(target, np.float32)
+    moved = np.asarray(source, np.float32) @ np.asarray(R, np.float32).T + np.asarray(
+        t, np.float32
+    )
+
+    def thin(c):
+        if c.shape[0] > max_points:
+            return c[:: c.shape[0] // max_points + 1]
+        return c
+
+    cp, ct = np.cos(phi), np.cos(theta)
+    sp, st = np.sin(phi), np.sin(theta)
+    Ry = np.array([[ct, 0, st], [0, 1, 0], [-st, 0, ct]], np.float32)
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    cam = Rx @ Ry
+    fig, ax = plt.subplots(figsize=(8, 6), dpi=110)
+    for cloud, color, label, size in (
+        (thin(target), "#4060ff", "model", 2.0),
+        (thin(moved), "#ff4040", "registered data", 2.0),
+    ):
+        p = cloud @ cam.T
+        ax.scatter(p[:, 0], p[:, 1], s=size, c=color, label=label, linewidths=0)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    ax.legend(loc="upper right", frameon=False)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 class TrajectoryRecorder:
     """Subscribes to solver progress; keeps the pose/error trajectory
     (the headless counterpart of watching the white cloud converge)."""

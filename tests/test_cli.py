@@ -108,3 +108,15 @@ grid_resolution = 64
         )
         out = run_scenario(str(cfg), output_dir=str(tmp_path / f"out{mode}"))
         _check(out, R, t, src, tgt, tol=1e-2 if mode == 2 else 5e-3)
+
+
+def test_render_png(tmp_path, rng):
+    from goicp_tpu.viz import render_png
+
+    tgt = rng.random((200, 3)).astype(np.float32)
+    src = rng.random((150, 3)).astype(np.float32)
+    p = str(tmp_path / "snap.png")
+    render_png(p, tgt, src, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    import os
+
+    assert os.path.getsize(p) > 1000
