@@ -53,4 +53,19 @@ __version__ = "0.1.0"
 from goicp_tpu.core.config import Config, Mode
 from goicp_tpu.core.types import RigidTransform
 
-__all__ = ["Config", "Mode", "RigidTransform", "__version__"]
+
+def register(src, tgt, params=None, **kwargs):
+    """Top-level convenience: globally-optimal registration.
+
+    ``register(src, tgt, mse_threshold=1e-3)`` — kwargs build a
+    :class:`goicp_tpu.bnb.BnbParams` when ``params`` is not given.
+    """
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.bnb import register as _register
+
+    if params is None:
+        params = BnbParams(**kwargs)
+    return _register(src, tgt, params)
+
+
+__all__ = ["Config", "Mode", "RigidTransform", "register", "__version__"]

@@ -179,6 +179,12 @@ def run_scenario(toml_path: str, output_dir: str | None = None) -> dict:
         pass
     if rec.states:
         rec.dump_csv(os.path.join(outdir, "trajectory.csv"))
+    if out["metrics"]:
+        import json
+
+        with open(os.path.join(outdir, "metrics.json"), "w") as f:
+            json.dump(out["metrics"], f, indent=2, sort_keys=True, default=float)
+            f.write("\n")
     log.info(
         "Scenario %s: mode=%d mse=%.6g converged=%s wall=%.2fs → %s",
         out["scenario"],

@@ -120,3 +120,22 @@ def test_render_png(tmp_path, rng):
     import os
 
     assert os.path.getsize(p) > 1000
+
+
+def test_top_level_register_api(rng):
+    import goicp_tpu
+
+    src = (rng.random((120, 3)).astype(np.float32) - 0.5) * 0.6
+    res = goicp_tpu.register(src, src, mse_threshold=1e-4, se3_pop=32, max_rounds=20)
+    assert res.converged and res.mse < 1e-4
+
+
+def test_metrics_artifact(synth_scenario, tmp_path):
+    import json
+
+    cfg, _ = synth_scenario(4)
+    out = run_scenario(str(cfg), output_dir=str(tmp_path / "outm"))
+    mpath = tmp_path / "outm" / "metrics.json"
+    assert mpath.exists()
+    doc = json.loads(mpath.read_text())
+    assert any(k.startswith("time_s/") for k in doc)
