@@ -258,114 +258,6 @@ class GoIcpResult:
 
 
 # ---------------------------------------------------------------------------
-# batched inner BnB over translation cubes
-# ---------------------------------------------------------------------------
-
-
-def _group_min_update(qidx, vals, t_centers, incumbent, best_t):
-    """Per-query incumbent update from a flat job batch (vectorized)."""
-    Q = incumbent.shape[0]
-    batch_best = np.full(Q, np.inf, np.float32)
-    np.minimum.at(batch_best, qidx, vals)
-    improved = batch_best < incumbent
-    if improved.any():
-        # argmin job per improved query
-        is_best = vals <= batch_best[qidx]
-        sel = np.flatnonzero(is_best)
-        uq, first = np.unique(qidx[sel], return_index=True)
-        job = sel[first]
-        take = improved[uq]
-        best_t[uq[take]] = t_centers[job[take]]
-        incumbent = np.minimum(incumbent, batch_best)
-    return incumbent, best_t
-
-
-def inner_bnb(
-    ev: BoundsEvaluator,
-    R_q: np.ndarray,        # [Q,3,3]
-    angle_q: np.ndarray,    # [Q]
-    flag_q: np.ndarray,     # [Q] 1.0 = subtract rotation uncertainty
-    p: BnbParams,
-    sse_thresh: float,
-    metrics: Metrics,
-    cap_q: Optional[np.ndarray] = None,  # [Q] external prune cap (global best)
-):
-    """Breadth-first translation BnB for ``Q`` queries simultaneously.
-
-    Returns ``(ub [Q], lb [Q], best_t [Q,3])`` where ``ub`` is the min
-    evaluated center objective (≙ ``optErrorT``, ``jly_goicp.cpp:247``) and
-    ``lb`` the certified min over the leaf cover — valid even though nodes
-    within ``sse_thresh`` of the incumbent are ε-pruned
-    (≙ ``jly_goicp.cpp:318-321``).
-
-    ``cap_q`` prunes against knowledge *outside* the query (the global
-    incumbent): a node with ``lb ≥ cap_q − sse_thresh`` cannot influence any
-    outer decision, so the query's result saturates at ``cap_q`` — the same
-    effect as fgoicp seeding the inner search with the global ``best_sse``.
-    """
-    Q = R_q.shape[0]
-    incumbent = np.full(Q, np.inf, np.float32)
-    cap_q = (
-        np.full(Q, np.inf, np.float32)
-        if cap_q is None
-        else np.asarray(cap_q, np.float32)
-    )
-    best_t = np.tile(np.asarray(p.trans_center, np.float32), (Q, 1))
-    lb_leaf = np.full(Q, np.inf, np.float32)
-
-    qidx = np.arange(Q, dtype=np.int32)
-    centers = np.tile(np.asarray(p.trans_center, np.float32), (Q, 1))
-    spans = np.full(Q, p.trans_span, np.float32)
-
-    while qidx.size:
-        M = qidx.size
-        cv = np.empty(M, np.float32)
-        lb = np.empty(M, np.float32)
-        for s in range(0, M, p.job_cap):
-            e = min(s + p.job_cap, M)
-            m = e - s
-            pad = p.job_cap - m
-            idx = qidx[s:e]
-            cv_c, lb_c = ev.evaluate(
-                np.concatenate([R_q[idx], np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]),
-                np.concatenate([angle_q[idx], np.zeros(pad, np.float32)]),
-                np.concatenate([centers[s:e], np.zeros((pad, 3), np.float32)]),
-                np.concatenate([spans[s:e], np.zeros(pad, np.float32)]),
-                np.concatenate([flag_q[idx], np.zeros(pad, np.float32)]),
-                np.concatenate([np.ones(m, bool), np.zeros(pad, bool)]),
-            )
-            cv[s:e], lb[s:e] = cv_c[:m], lb_c[:m]
-        metrics.count("trans_nodes", M)
-
-        incumbent, best_t = _group_min_update(qidx, cv, centers, incumbent, best_t)
-
-        # ε-prune: node can't improve the incumbent (or the external cap) by
-        # more than the convergence threshold (jly InnerBnB stop rule)
-        limit = np.minimum(incumbent, cap_q)
-        alive = lb < limit[qidx] - sse_thresh
-        # ε-pruned leaves fold into the certified lower bound
-        eps_pruned = (~alive) & (lb < incumbent[qidx])
-        if eps_pruned.any():
-            np.minimum.at(lb_leaf, qidx[eps_pruned], lb[eps_pruned])
-        # span floor: evaluated but not subdivided → leaf
-        at_floor = alive & (spans / 2.0 < p.min_trans_span)
-        if at_floor.any():
-            np.minimum.at(lb_leaf, qidx[at_floor], lb[at_floor])
-        expand = alive & ~at_floor
-        if not expand.any():
-            break
-        # 8-way subdivision (≙ fgoicp.cpp:160-173)
-        ec, es, eq = centers[expand], spans[expand], qidx[expand]
-        half = (es / 2.0)[:, None]
-        centers = (ec[:, None, :] + _OCTANTS[None] * half[:, None, :]).reshape(-1, 3)
-        spans = np.repeat(es / 2.0, 8)
-        qidx = np.repeat(eq, 8)
-
-    lb_total = np.minimum(incumbent, lb_leaf)
-    return incumbent, lb_total, best_t
-
-
-# ---------------------------------------------------------------------------
 # outer BnB
 # ---------------------------------------------------------------------------
 

@@ -211,11 +211,3 @@ def run_icp(
         T = jax.tree.map(lambda x: x[0], T)
         sse, iters = sse[0], iters[0]
     return IcpResult(transform=T, sse=sse, iters=iters)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("params", "backend")
-)
-def icp_exact(src, targets, init: RigidTransform, params: IcpParams = IcpParams(), backend: str = "exact"):
-    """Jit-wrapped exact-NN ICP (convenience entry for tests/CLI)."""
-    return run_icp(src, exact_correspondence(targets), init, params)
