@@ -37,7 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from goicp_tpu.geo.rotation import rotation_displacement
-from goicp_tpu.nn.grid import DistanceGrid
+from goicp_tpu.nn.grid import (
+    DistanceGrid,
+    lookup_sq_nearest,
+    lookup_sq_trilinear,
+)
 
 _SQRT3 = math.sqrt(3.0)
 _PREC = jax.lax.Precision.HIGHEST
@@ -52,40 +56,11 @@ _OCT = jnp.asarray(
 
 
 def _gather_d2(grid: DistanceGrid, pts, lookup: str):
-    """Squared-distance fetch + escape distance for ``pts [..., 3]``."""
-    n = grid.n
-    x = (pts - grid.origin) / grid.cell - 0.5
-    xc = jnp.clip(x, 0.0, n - 1.0)
-    esc = jnp.sqrt(jnp.sum(((x - xc) * grid.cell) ** 2, axis=-1))
-    flatv = grid.values.reshape(-1)
+    """Squared-distance fetch + escape distance (thin wrapper over the
+    canonical lookups in ``nn.grid`` — one implementation, two callers)."""
     if lookup == "nearest":
-        idx = jnp.clip(jnp.round(xc).astype(jnp.int32), 0, n - 1)
-        flat = (idx[..., 0] * n + idx[..., 1]) * n + idx[..., 2]
-        return jnp.take(flatv, flat, axis=0), esc
-    x0 = jnp.floor(xc)
-    f = xc - x0
-    i0 = jnp.clip(x0.astype(jnp.int32), 0, n - 1)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
-
-    def at(ix, iy, iz):
-        return jnp.take(flatv, (ix * n + iy) * n + iz, axis=0)
-
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-    c00 = at(i0[..., 0], i0[..., 1], i0[..., 2]) * (1 - fx) + at(
-        i1[..., 0], i0[..., 1], i0[..., 2]
-    ) * fx
-    c10 = at(i0[..., 0], i1[..., 1], i0[..., 2]) * (1 - fx) + at(
-        i1[..., 0], i1[..., 1], i0[..., 2]
-    ) * fx
-    c01 = at(i0[..., 0], i0[..., 1], i1[..., 2]) * (1 - fx) + at(
-        i1[..., 0], i0[..., 1], i1[..., 2]
-    ) * fx
-    c11 = at(i0[..., 0], i1[..., 1], i1[..., 2]) * (1 - fx) + at(
-        i1[..., 0], i1[..., 1], i1[..., 2]
-    ) * fx
-    c0 = c00 * (1 - fy) + c10 * fy
-    c1 = c01 * (1 - fy) + c11 * fy
-    return c0 * (1 - fz) + c1 * fz, esc
+        return lookup_sq_nearest(grid, pts)
+    return lookup_sq_trilinear(grid, pts)
 
 
 def _merge_top(top, vals, drop: int):
@@ -186,7 +161,8 @@ def inner_bnb_device(
             pts = p_t[:, None, :, :] + centers[:, :, None, :]  # [G,C,tile,3]
             if backend == "exact":
                 d = jnp.sqrt(_exact_min_d2(pts, tgt_tiles, tgt_norm_tiles))
-                d_lo = d_hi = d
+                d_lo = jnp.maximum(d - slack, 0.0)
+                d_hi = d + slack
             else:
                 val, esc = _gather_d2(grid, pts, lookup)
                 d = jnp.sqrt(jnp.maximum(val, 0.0))

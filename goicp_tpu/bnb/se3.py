@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from goicp_tpu.bnb.device_inner import _gather_d2, _merge_top
+from goicp_tpu.bnb.device_inner import _exact_min_d2, _gather_d2
 from goicp_tpu.bnb.frontier import make_frontier
 from goicp_tpu.bnb.solver import (
     BnbParams,
@@ -142,21 +142,11 @@ def evaluate_se3_nodes(
             + t_c[:, None, :]
         )                                                   # [M,tile,3]
         if backend == "exact":
-            flat = pts.reshape(-1, 3)
-            pn = jnp.sum(flat * flat, axis=-1)
-
-            def t_body(best, ys):
-                tt, tn = ys
-                dots = jnp.dot(flat, tt.T, precision=_PREC)  # MXU
-                return jnp.minimum(best, jnp.min(tn[None, :] - 2.0 * dots, -1)), None
-
-            best, _ = jax.lax.scan(
-                t_body,
-                jnp.full((flat.shape[0],), _INF, jnp.float32),
-                (tgt_tiles, tgt_norm_tiles),
-            )
-            d = jnp.sqrt(jnp.maximum(best + pn, 0.0)).reshape(M, tile)
-            d_lo = d_hi = d
+            d = jnp.sqrt(_exact_min_d2(pts, tgt_tiles, tgt_norm_tiles))
+            # slack here is the f32-cancellation allowance of the MXU
+            # expansion (certified mode; 0 in reference-parity mode)
+            d_lo = jnp.maximum(d - slack, 0.0)
+            d_hi = d + slack
         else:
             val, esc = _gather_d2(grid, pts, lookup)
             d = jnp.sqrt(jnp.maximum(val, 0.0))
@@ -360,7 +350,11 @@ class GoIcpSolverSE3(GoIcpSolver):
                 self.ev.norms,
                 self.grid,
                 self._tgt_dev,
-                jnp.float32(0.0 if self._backend == "exact" else self.ev.slack),
+                jnp.float32(
+                    self._exact_slack
+                    if self._backend == "exact"
+                    else self.ev.slack
+                ),
                 jnp.asarray(
                     np.concatenate(
                         [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
@@ -507,28 +501,8 @@ class GoIcpSolverSE3(GoIcpSolver):
         if not len(frontier) and not converged:
             converged = True
 
-        # final full-resolution polish when the BnB solved on a subset
-        if self.src_full.shape[0] > self.src.shape[0]:
-            from goicp_tpu.bnb.solver import _exact_icp, _grid_icp
-
-            with m.phase("icp"):
-                full = jnp.asarray(self.src_full)
-                if self._icp_backend == "exact":
-                    pres = _exact_icp(
-                        full, self._tgt_dev,
-                        jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
-                        self._icp_params,
-                    )
-                else:
-                    pres = _grid_icp(
-                        full, self.grid, self._tgt_dev,
-                        jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
-                        self._icp_params,
-                    )
-                best_R = np.asarray(pres.transform.R)[0]
-                best_t = np.asarray(pres.transform.t)[0]
-                m.counters["full_polish_sse"] = float(np.asarray(pres.sse)[0])
-                m.count("icp_iters", int(np.asarray(pres.iters)[0]))
+        # full-resolution polish + consistent re-score (solver._full_polish)
+        best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
 
         gap = best_sse - min(frontier.min_lb(), leaf_lb)
         wall = time.perf_counter() - t_start

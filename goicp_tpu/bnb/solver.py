@@ -36,14 +36,14 @@ import jax.numpy as jnp
 
 from goicp_tpu.bnb.bounds import BoundsEvaluator
 from goicp_tpu.bnb.device_inner import inner_bnb_device
-from goicp_tpu.bnb.frontier import Frontier, make_cube_frontier
+from goicp_tpu.bnb.frontier import make_cube_frontier
 from goicp_tpu.core.logging import get_logger
 from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.progress import ProgressBus, SolverState
 from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.geo import rotation as rot
 from goicp_tpu.icp import IcpParams, grid_correspondence, run_icp
-from goicp_tpu.nn.grid import build_distance_grid, grid_domain
+from goicp_tpu.nn.grid import build_distance_grid
 
 _SQRT3 = math.sqrt(3.0)
 _OCTANTS = (
@@ -350,6 +350,18 @@ class GoIcpSolver:
         )
         self._src_dev = jnp.asarray(self.src)
         self._tgt_dev = jnp.asarray(self.tgt)
+        # exact-backend numerical slack: the MXU |t|²−2t·p+|p|² expansion can
+        # misstate d² by ~8·ε_f32·scale², i.e. d by up to √(8·ε)·scale —
+        # deducted from certified lower bounds (conservative mode only;
+        # reference-parity mode ignores it, as both references ignore their
+        # own grid error)
+        scale = float(
+            np.abs(self.src).max() + np.abs(self.tgt).max()
+            + params.trans_span * _SQRT3
+        )
+        self._exact_slack = (
+            math.sqrt(8.0 * 1.2e-7) * scale if params.conservative else 0.0
+        )
 
     # -- batched ICP refinement (pad to icp_cap for a stable jit cache) ----
 
@@ -392,6 +404,58 @@ class GoIcpSolver:
         sses = np.concatenate([o[2] for o in outs])
         iters = np.concatenate([o[3] for o in outs])
         return Rs, ts, sses, iters
+
+    # -- scoring & full-resolution polish ----------------------------------
+
+    def _score(self, R, t):
+        """(Trimmed) solve-objective SSE at exact poses ``[B]`` via the ICP
+        correspondence backend — the same measure the incumbents used."""
+        params = IcpParams(
+            max_iter=0, rel_tol=0.0, trim_fraction=self.p.trim_fraction
+        )
+        if self._icp_backend == "exact":
+            res = _exact_icp(
+                self._src_dev, self._tgt_dev,
+                jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), params,
+            )
+        else:
+            res = _grid_icp(
+                self._src_dev, self.grid, self._tgt_dev,
+                jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32), params,
+            )
+        return np.asarray(res.sse)
+
+    def _full_polish(self, best_R, best_t, best_sse):
+        """Full-resolution ICP polish when the BnB solved on a
+        ``bound_points`` subset.  The returned (pose, sse) pair stays
+        consistent: the polished pose is re-scored on the solve objective
+        and only accepted when it does not regress beyond ε/100."""
+        if self.src_full.shape[0] <= self.src.shape[0]:
+            return best_R, best_t, best_sse
+        with self.metrics.phase("icp"):
+            full = jnp.asarray(self.src_full)
+            if self._icp_backend == "exact":
+                pres = _exact_icp(
+                    full, self._tgt_dev,
+                    jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
+                    self._icp_params,
+                )
+            else:
+                pres = _grid_icp(
+                    full, self.grid, self._tgt_dev,
+                    jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
+                    self._icp_params,
+                )
+            R_p = np.asarray(pres.transform.R)[0]
+            t_p = np.asarray(pres.transform.t)[0]
+            self.metrics.counters["full_polish_sse"] = float(
+                np.asarray(pres.sse)[0]
+            )
+            self.metrics.count("icp_iters", int(np.asarray(pres.iters)[0]))
+            sse_p = float(self._score(R_p[None], t_p[None])[0])
+        if sse_p <= best_sse + 0.01 * self.sse_thresh:
+            return R_p, t_p, sse_p
+        return best_R, best_t, best_sse
 
     # -- initial incumbent -------------------------------------------------
 
@@ -454,6 +518,14 @@ class GoIcpSolver:
                 if best_sse - gap_lb <= self.sse_thresh:  # ≙ fgoicp.cpp:44-47
                     converged = True
                     break
+                if time.perf_counter() - t_start > p.max_wall_s:
+                    self.log.warning(
+                        "wall budget %.0fs exceeded at round %d (gap %.4g)",
+                        p.max_wall_s,
+                        rounds,
+                        best_sse - gap_lb,
+                    )
+                    break
                 rounds += 1
                 cen, spn, _, _ = frontier.pop_best(p.rot_pop)
                 # 8-way children (≙ fgoicp.cpp:53-60)
@@ -490,7 +562,11 @@ class GoIcpSolver:
                     self.ev.norms,
                     self.grid,
                     self._tgt_dev if self._backend == "exact" else self._tgt_dev[:1],
-                    jnp.float32(0.0 if self._backend == "exact" else self.ev.slack),
+                    jnp.float32(
+                        self._exact_slack
+                        if self._backend == "exact"
+                        else self.ev.slack
+                    ),
                     jnp.asarray(R_pad),
                     jnp.asarray(ang_pad),
                     jnp.asarray(cap_ub),
@@ -585,6 +661,8 @@ class GoIcpSolver:
             # frontier exhausted ⇒ search space fully covered to the span
             # floor: optimal within the floor resolution
             converged = True
+
+        best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
 
         gap = best_sse - min(frontier.min_lb(), rot_lb_leaf)
         wall = time.perf_counter() - t_start

@@ -87,8 +87,14 @@ def quat_cube_max_angle(center, span):
     ``w = sqrt(1-r^2)`` over the cube follows from the extreme radii
     ``r_min = |max(|v0|-span, 0)|`` and ``r_max = min(|v0|+span*1, 1)``.
     For unit quaternions, ``<q1,q2> = 1 - d^2/2`` and the rotation angle is
-    ``theta = 2*arccos(|<q1,q2>|)``.  Replaces the reference's heuristic
-    ``2*|p|^2*sin(span*sqrt(3)*pi/2)`` (``registration.cu:39-43``).
+    ``theta = 2*arccos(<q1,q2>)`` for ``<q1,q2> >= 0``.  Because ``d^2`` here
+    is an UPPER bound on the true chordal distance, the double-cover
+    shortcut ``|<q1,q2>|`` must NOT be applied: a bound ``d^2 >= 2`` only
+    tells us the angle may be as large as π, so the cosine is clamped at 0
+    (θ = π) instead of wrapping around to small angles — the |
+    ⟨⟩ | form silently returned θ→0 for the ROOT cube (span 1), erasing all
+    rotation uncertainty from the lower bounds.  Replaces the reference's
+    heuristic ``2*|p|^2*sin(span*sqrt(3)*pi/2)`` (``registration.cu:39-43``).
     """
     s = span[..., None]
     a = jnp.abs(center)
@@ -99,7 +105,7 @@ def quat_cube_max_angle(center, span):
     w0 = w_of(r0)
     dw = jnp.maximum(w_of(r_min) - w0, w0 - w_of(r_max))
     d2 = 3.0 * span**2 + dw**2
-    cos_half = jnp.clip(jnp.abs(1.0 - d2 / 2.0), 0.0, 1.0)
+    cos_half = jnp.clip(1.0 - d2 / 2.0, 0.0, 1.0)
     return 2.0 * jnp.arccos(cos_half)
 
 

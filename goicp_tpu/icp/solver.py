@@ -153,60 +153,88 @@ def run_icp(
     pw = None if point_weights is None else jnp.asarray(point_weights, jnp.float32)
 
     def _weights(d2):
-        w = trim_weights(d2, tf) if tf > 0.0 else None
-        if pw is not None:
-            w = pw if w is None else w * pw
-        return w
+        if pw is None:
+            return trim_weights(d2, tf) if tf > 0.0 else None
+        if tf <= 0.0:
+            return jnp.broadcast_to(pw, d2.shape)
+        # padded points (weight 0) must neither occupy inlier slots nor
+        # count toward the inlier quota: mask them to +inf and derive k
+        # from the EFFECTIVE point count
+        masked = jnp.where(pw > 0, d2, jnp.inf)
+        cnt = jnp.sum((pw > 0).astype(jnp.float32), axis=-1)
+        k = jnp.maximum(jnp.round(cnt * (1.0 - tf)).astype(jnp.int32), 1)
+        srt = jnp.sort(masked, axis=-1)
+        idx = jnp.broadcast_to(k - 1, masked.shape[:-1])[..., None]
+        kth = jnp.take_along_axis(srt, idx, axis=-1)
+        return (masked <= kth).astype(d2.dtype) * pw
 
-    def sse_at(T: RigidTransform):
-        pts = T.apply(src)
-        _, d2 = corr(pts)
-        if pw is not None:
-            if tf > 0.0:
-                return jnp.sum(d2 * _weights(d2), axis=-1)
-            return jnp.sum(d2 * pw, axis=-1)
-        return sse_of_distances(d2, tf)
+    def _sse_from(d2, w):
+        if w is None:
+            return jnp.sum(d2, axis=-1)
+        return jnp.sum(d2 * w, axis=-1)
+
+    if params.max_iter == 0:
+        # pure scoring: one correspondence pass, no refinement
+        dst, d2 = corr(T0.apply(src))
+        sse0 = _sse_from(d2, _weights(d2))
+        T, iters = T0, jnp.zeros((B,), jnp.int32)
+        if not batched:
+            T = jax.tree.map(lambda x: x[0], T)
+            sse0, iters = sse0[0], iters[0]
+        return IcpResult(transform=T, sse=sse0, iters=iters)
 
     def cond(state):
-        _, _, active, it, _ = state
+        active, it = state[3], state[4]
         return jnp.logical_and(jnp.any(active), it < params.max_iter)
 
     def body(state):
-        T, sse, active, it, iters = state
-        pts = T.apply(src)  # [B,N,3]
+        # ONE correspondence search per iteration: it scores the pose being
+        # visited AND supplies the Procrustes system for the next step (the
+        # previous version ran a second full NN pass just to score T_new,
+        # doubling the dominant cost of every ICP call).
+        T_best, sse_best, T_cur, active, it, iters = state
+        pts = T_cur.apply(src)  # [B,N,3]
         dst, d2 = corr(pts)
         w = _weights(d2)
-        R_d, t_d = procrustes(pts, dst, weights=w)
-        delta = RigidTransform(R_d, t_d)
-        T_new = delta.compose(T)  # ≙ icp3d.cu:99-100 update order
-        sse_new = sse_at(T_new)
-        improved = sse_new < sse
-        # accept only improving updates while active
-        take = jnp.logical_and(active, improved)
-        T = jax.tree.map(
+        sse_cur = _sse_from(d2, w)
+
+        take = jnp.logical_and(active, sse_cur < sse_best)
+        T_best = jax.tree.map(
             lambda new, old: jnp.where(
                 take.reshape((B,) + (1,) * (new.ndim - 1)), new, old
             ),
-            T_new,
-            T,
+            T_cur,
+            T_best,
         )
         # converged: relative improvement below tol (or no improvement)
         still = jnp.logical_and(
-            active, sse - sse_new >= params.rel_tol * jnp.maximum(sse_new, 1e-30)
+            active,
+            sse_best - sse_cur
+            >= params.rel_tol * jnp.maximum(sse_cur, 1e-30),
         )
-        sse = jnp.where(take, sse_new, sse)
-        iters = iters + active.astype(jnp.int32)
-        return T, sse, still, it + 1, iters
+        sse_best = jnp.where(take, sse_cur, sse_best)
 
-    sse0 = sse_at(T0)
+        R_d, t_d = procrustes(pts, dst, weights=w)
+        T_next = RigidTransform(R_d, t_d).compose(T_cur)  # ≙ icp3d.cu:99-100
+        T_cur = jax.tree.map(
+            lambda new, old: jnp.where(
+                still.reshape((B,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            T_next,
+            T_cur,
+        )
+        iters = iters + active.astype(jnp.int32)
+        return T_best, sse_best, T_cur, still, it + 1, iters
+
     state = (
         T0,
-        sse0,
+        jnp.full((B,), jnp.inf, jnp.float32),
+        T0,
         jnp.ones((B,), bool),
         jnp.asarray(0, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
-    T, sse, _, _, iters = jax.lax.while_loop(cond, body, state)
+    T, sse, _, _, _, iters = jax.lax.while_loop(cond, body, state)
     if not batched:
         T = jax.tree.map(lambda x: x[0], T)
         sse, iters = sse[0], iters[0]

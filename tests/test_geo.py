@@ -176,3 +176,34 @@ def test_rigid_transform_compose_apply(rng):
     # inverse
     back = A.inverse().apply(A.apply(jnp.asarray(pts)))
     np.testing.assert_allclose(np.asarray(back), pts, atol=1e-5)
+
+
+def test_quat_cube_max_angle_saturates_at_pi():
+    """An upper-bound chordal distance >= 2 must yield angle pi, not wrap
+    around through the quaternion double cover (which erased all rotation
+    uncertainty for large cubes and could prune the global optimum)."""
+    import jax.numpy as jnp
+    from goicp_tpu.geo.rotation import quat_cube_max_angle, quat_cube_rotation
+
+    c = jnp.zeros((1, 3))
+    ang_root = float(quat_cube_max_angle(c, jnp.asarray([1.0]))[0])
+    assert ang_root > 3.1  # the root cube contains 180-degree rotations
+    # monotone in span
+    spans = [0.05, 0.1, 0.3, 0.6, 0.9, 1.0]
+    angs = [float(quat_cube_max_angle(c, jnp.asarray([s]))[0]) for s in spans]
+    assert all(a2 >= a1 - 1e-6 for a1, a2 in zip(angs, angs[1:]))
+    # bound actually covers sampled rotations in the cube
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for s in (0.3, 0.8):
+        bound = float(quat_cube_max_angle(c, jnp.asarray([s]))[0])
+        R0 = np.asarray(quat_cube_rotation(jnp.zeros(3)))
+        for _ in range(50):
+            v = (rng.random(3) - 0.5) * 2 * s
+            if np.linalg.norm(v) > 1:
+                continue
+            R = np.asarray(quat_cube_rotation(jnp.asarray(v, jnp.float32)))
+            cosang = (np.trace(R0.T @ R) - 1) / 2
+            ang = float(np.arccos(np.clip(cosang, -1, 1)))
+            assert ang <= bound + 1e-4
