@@ -1,9 +1,15 @@
-"""Headline benchmark: bunny Go-ICP wall-clock (≙ Performance.xlsx sheet1,
-"Best/worst Performance of Go-ICP sample ratio = 0.05": reference GPU-LUT
-best/worst 0.05 s / 6 s on RTX 4080 Laptop; BASELINE.md).
+"""Benchmark suite: headline bunny Go-ICP wall-clock + all five reference
+scenarios (≙ Performance.xlsx sheet1 + test/*.toml; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` = reference worst-case seconds / our seconds (speedup ×).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+``vs_baseline`` = reference worst-case seconds / our seconds (speedup ×) on
+the headline protocol (bunny subsample 0.05, the Performance.xlsx row:
+reference GPU-LUT best/worst 0.05 s / 6 s on RTX 4080 Laptop).
+
+``detail.scenarios`` carries one {wall_s, mse, converged} record per
+reference scenario (bunny_icp, bunny_goicp, skull, face, noisy spanner) so
+regressions anywhere in the coverage matrix show up in BENCH_r*.json, not
+just on the headline number.
 
 Protocol: subsample 0.05 to match the reference measurement; one warmup
 solve (compile caches), then the median of 3 timed solves.  Each timed solve
@@ -15,23 +21,30 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 REF_WORST_S = 6.0   # Performance.xlsx GPU-LUT worst, bunny @0.05
 REF_BEST_S = 0.05   # Performance.xlsx GPU-LUT best
 
+SCENARIOS = [
+    "bunny_icp.toml",
+    "bunny_goicp.toml",
+    "skull_goicp.toml",
+    "face_goicp.toml",
+    "spanner_goicp.toml",
+]
 
-def main():
-    from goicp_tpu.core.cache import enable_persistent_cache
 
-    enable_persistent_cache()
+def run_headline():
     from goicp_tpu.bnb import BnbParams, make_solver
     from goicp_tpu.io import load_cloud
 
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bunny")
+    base = os.path.join(_HERE, "data", "bunny")
     src = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.05, seed=0)
     tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.05, seed=0)
 
@@ -54,14 +67,42 @@ def main():
         dt, res = solve()
         times.append(dt)
     wall = float(np.median(times))
+    return wall, times, res, src.shape[0], tgt.shape[0]
 
-    # the reference's SHIPPED scenario config (test/bunny_goicp.toml) uses
-    # subsample 0.1; measure it too for context
-    src1 = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.1, seed=0)
-    tgt1 = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.1, seed=0)
-    t0 = time.perf_counter()
-    res1 = make_solver(src1, tgt1, params).run()
-    wall_01 = time.perf_counter() - t0
+
+def run_scenarios(tmp_root):
+    """All five reference scenario TOMLs end-to-end through the CLI."""
+    from goicp_tpu.cli import run_scenario
+
+    out = {}
+    for name in SCENARIOS:
+        path = os.path.join(_HERE, "scenarios", name)
+        try:
+            t0 = time.perf_counter()
+            r = run_scenario(path, output_dir=os.path.join(tmp_root, name[:-5]))
+            out[name[:-5]] = {
+                "wall_s": round(r["wall_s"], 3),
+                "total_wall_s": round(time.perf_counter() - t0, 3),
+                "mse": float(r["mse"]),
+                "converged": bool(r["converged"]),
+            }
+        except Exception as e:  # a broken scenario must not hide the rest
+            traceback.print_exc()
+            out[name[:-5]] = {"error": f"{type(e).__name__}: {e}"}
+    return out
+
+
+def main():
+    from goicp_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    wall, times, res, n_src, n_tgt = run_headline()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        scen = run_scenarios(tmp)
 
     out = {
         "metric": "bunny_goicp_wall_s",
@@ -83,11 +124,9 @@ def main():
             "gap": res.gap,
             "nodes": res.rot_nodes,
             "nodes_per_s": round(res.rot_nodes / max(res.wall_s, 1e-9)),
-            "n_src": int(src.shape[0]),
-            "n_tgt": int(tgt.shape[0]),
-            "shipped_config_subsample01_wall_s": round(wall_01, 4),
-            "shipped_config_subsample01_converged": bool(res1.converged),
-            "shipped_config_subsample01_mse": res1.mse,
+            "n_src": int(n_src),
+            "n_tgt": int(n_tgt),
+            "scenarios": scen,
         },
     }
     print(json.dumps(out))

@@ -61,9 +61,14 @@ def lib():
         if os.environ.get("GOICP_TPU_NATIVE", "1") == "0":
             return None
         try:
-            if not os.path.exists(_SO):
+            src = os.path.join(_HERE, "goicp_native.cpp")
+            stale = not os.path.exists(_SO) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_SO)
+            )
+            if stale:
                 subprocess.run(
-                    ["make", "-C", _HERE, "-s"],
+                    ["make", "-C", _HERE, "-sB"],
                     check=True,
                     capture_output=True,
                     timeout=120,

@@ -194,6 +194,10 @@ class Frontier:
     def min_lb(self) -> float:
         return self._f.min_lb()
 
+    def dump(self):
+        """Snapshot for checkpointing: ``(payload [K,4], lb, ub)``."""
+        return self._f.dump()
+
 
 def make_cube_frontier() -> Frontier:
     return Frontier(make_frontier(4))

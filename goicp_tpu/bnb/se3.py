@@ -263,6 +263,9 @@ class GoIcpSolverSE3(GoIcpSolver):
         # resume from a frontier snapshot (restart-based recovery; the BnB
         # state is exactly {frontier, incumbent, counters} — SURVEY §5)
         import os
+        from collections import deque
+
+        inflight = deque()
 
         if p.checkpoint_path and os.path.exists(p.checkpoint_path):
             ck = np.load(p.checkpoint_path)
@@ -286,6 +289,16 @@ class GoIcpSolverSE3(GoIcpSolver):
             if not p.checkpoint_path:
                 return
             pay, lb, ub = frontier.dump()
+            # Rounds still in flight hold nodes that are in neither the
+            # frontier nor any pushed children; losing them would leave
+            # permanently unexplored regions after a resume.  Re-include
+            # their popped PARENTS (they get re-expanded — idempotent).
+            for w in inflight:
+                ppay, plb, pub = w["parents"]
+                if ppay.shape[0]:
+                    pay = np.concatenate([pay, ppay])
+                    lb = np.concatenate([lb, plb])
+                    ub = np.concatenate([ub, pub])
             tmp = p.checkpoint_path + ".tmp.npz"
             np.savez(
                 tmp,
@@ -303,7 +316,7 @@ class GoIcpSolverSE3(GoIcpSolver):
 
         def dispatch():
             """Pop → split → launch one fused device round (async)."""
-            pay, _, _ = frontier.pop_best(se3_pop)
+            pay, pop_lb, pop_ub = frontier.pop_best(se3_pop)
             B = pay.shape[0]
             r_s, t_s = pay[:, 3], pay[:, 7]
 
@@ -375,7 +388,14 @@ class GoIcpSolverSE3(GoIcpSolver):
                 icp_params=self._icp_params,
                 icp_backend=self._icp_backend,
             )
-            return {"child": child, "lf": lf, "R_c": R_c, "C": C, "out": out}
+            return {
+                "child": child,
+                "lf": lf,
+                "R_c": R_c,
+                "C": C,
+                "out": out,
+                "parents": (pay, pop_lb, pop_ub),
+            }
 
         def absorb(work):
             """Fetch one round's results; update incumbent, prune, push."""
@@ -442,9 +462,6 @@ class GoIcpSolverSE3(GoIcpSolver):
         # fetched, hiding host↔device latency.  Staleness only weakens
         # incumbent-driven pruning by a few rounds; every node is still
         # evaluated, so correctness is unaffected.
-        from collections import deque
-
-        inflight = deque()
         budget_exceeded = False
         depth = max(1, p.pipeline_depth)
         with m.phase("bnb"):

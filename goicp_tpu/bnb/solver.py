@@ -57,30 +57,65 @@ _OCTANTS = (
 # ---------------------------------------------------------------------------
 
 
+def _np_quat_to_matrix(q):
+    w, x, y, z = (q[..., i : i + 1] for i in range(4))
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    R = np.concatenate(
+        [
+            ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz,
+        ],
+        axis=-1,
+    ).reshape(*q.shape[:-1], 3, 3)
+    return R.astype(np.float32)
+
+
 class QuatParam:
-    """FastGoICP's quaternion cube: root span 1.0 (``fgoicp.cpp:35``)."""
+    """FastGoICP's quaternion cube: root span 1.0 (``fgoicp.cpp:35``).
+
+    Pure numpy (like :class:`AxisAngleParam`): these adapters run on the
+    host every BnB round, and an eager jnp op over the remote-device link
+    costs a full round trip each.  Semantics identical to the jnp
+    ``geo.rotation.quat_cube_*`` functions (property-tested against them).
+    """
 
     root_span = 1.0
 
     @staticmethod
     def rotation(centers):
-        return np.asarray(rot.quat_cube_rotation(jnp.asarray(centers, jnp.float32)))
+        c = np.asarray(centers, np.float32)
+        r2 = np.sum(c * c, axis=-1, keepdims=True)
+        scale = np.where(r2 > 1.0, 1.0 / np.sqrt(np.maximum(r2, 1e-30)), 1.0)
+        v = c * scale
+        w = np.sqrt(np.maximum(0.0, 1.0 - np.sum(v * v, axis=-1, keepdims=True)))
+        return _np_quat_to_matrix(np.concatenate([w, v], axis=-1))
 
     @staticmethod
     def max_angle(centers, spans):
-        return np.asarray(
-            rot.quat_cube_max_angle(
-                jnp.asarray(centers, jnp.float32), jnp.asarray(spans, jnp.float32)
-            )
-        )
+        c = np.asarray(centers, np.float32)
+        s = np.asarray(spans, np.float32)[..., None]
+        a = np.abs(c)
+        r_min = np.sqrt(np.sum(np.maximum(a - s, 0.0) ** 2, axis=-1))
+        r_max = np.sqrt(np.sum((a + s) ** 2, axis=-1))
+        w_of = lambda r: np.sqrt(np.maximum(0.0, 1.0 - np.minimum(r, 1.0) ** 2))
+        r0 = np.sqrt(np.sum(c * c, axis=-1))
+        w0 = w_of(r0)
+        dw = np.maximum(w_of(r_min) - w0, w0 - w_of(r_max))
+        d2 = 3.0 * np.squeeze(s, -1) ** 2 + dw**2
+        # no double-cover |.|: d2 is an upper bound, so cos is clamped at 0
+        # (theta = pi) instead of wrapping around (see quat_cube_max_angle)
+        cos_half = np.clip(1.0 - d2 / 2.0, 0.0, 1.0)
+        return (2.0 * np.arccos(cos_half)).astype(np.float32)
 
     @staticmethod
     def valid(centers, spans):
-        return np.asarray(
-            rot.quat_cube_overlaps_SO3(
-                jnp.asarray(centers, jnp.float32), jnp.asarray(spans, jnp.float32)
-            )
-        )
+        c = np.asarray(centers, np.float32)
+        s = np.asarray(spans, np.float32)[..., None]
+        d = np.maximum(np.abs(c) - s, 0.0)
+        return np.sum(d * d, axis=-1) <= 1.0
 
 
 class AxisAngleParam:
@@ -173,7 +208,6 @@ class BnbParams:
                                      # (outside queries use escape bounds)
     grid_method: str = "edt"         # "edt" (O(n^4), ≙ jly DT3D) | "brute"
                                      # (exact, O(n^3·Nt), ≙ buildLUTKernel)
-    job_cap: int = 2048              # jobs per device step (ref: 1/stream)
     rot_pop: int = 16                # rot cubes popped per outer round (ref: 1)
     min_rot_span: float = 0.0        # 0 ⇒ no depth floor: ε-pruning is
                                      # self-limiting (a node containing the
@@ -240,6 +274,12 @@ class BnbParams:
                                      # restart-based recovery (SURVEY §5:
                                      # the reference has none)
     checkpoint_every: int = 50       # rounds between snapshots
+    mesh_cubes: int = 1              # devices over the node axis (SE(3)
+                                     # engine shards each round's job batch;
+                                     # 0 = every visible device)
+    mesh_points: int = 1             # devices over the point axis (psum-
+                                     # reduced bound sums; composes with
+                                     # mesh_cubes as a 2-D mesh)
 
 
 @dataclasses.dataclass
@@ -508,6 +548,42 @@ class GoIcpSolver:
         rounds = 0
         converged = best_sse <= self.sse_thresh  # ≙ fgoicp.cpp:21-24
 
+        # checkpoint/resume: the nested loop is synchronous, so the frontier
+        # plus incumbent is the complete search state at every round boundary
+        import os
+
+        if p.checkpoint_path and os.path.exists(p.checkpoint_path):
+            ck = np.load(p.checkpoint_path)
+            frontier = make_cube_frontier()
+            pay = ck["payload"]
+            frontier.push(pay[:, :3], pay[:, 3], ck["lb"], ck["ub"])
+            if float(ck["best_sse"]) < best_sse:
+                best_sse = float(ck["best_sse"])
+                best_R, best_t = ck["best_R"], ck["best_t"]
+            rot_lb_leaf = float(ck["leaf_lb"])
+            rounds = int(ck["rounds"])
+            m.count("rot_nodes", int(ck["nodes"]))
+            self.log.info(
+                "resumed from %s: round %d, frontier %d, best sse %.6g",
+                p.checkpoint_path, rounds, len(frontier), best_sse,
+            )
+
+        def save_checkpoint():
+            if not p.checkpoint_path:
+                return
+            pay, lb, ub = frontier.dump()
+            tmp = p.checkpoint_path + ".tmp.npz"
+            np.savez(
+                tmp,
+                payload=pay, lb=lb, ub=ub,
+                best_R=best_R, best_t=best_t,
+                best_sse=np.float32(best_sse),
+                leaf_lb=np.float32(rot_lb_leaf),
+                rounds=np.int64(rounds),
+                nodes=np.int64(m.counters.get("rot_nodes", 0)),
+            )
+            os.replace(tmp, p.checkpoint_path)
+
         with m.phase("bnb"):
             while (
                 not converged
@@ -635,6 +711,8 @@ class GoIcpSolver:
 
                 if best_sse <= self.sse_thresh:
                     converged = True
+                if p.checkpoint_path and rounds % max(p.checkpoint_every, 1) == 0:
+                    save_checkpoint()
                 if rounds % 10 == 0:
                     self.log.info(
                         "round %d: best=%.5g frontier=%d min_lb=%.4g leaf_lb=%.4g",

@@ -16,9 +16,12 @@ Mode mapping (reference semantics → TPU implementation):
 - 2 ``ICP_KDTREE_GPU``: ICP with O(1) distance-grid correspondences — the
   grid replaces the flattened k-d tree (``icp_kernel.cu:281-377``), which
   the reference itself found slower than dense lookups (README.md:103-106).
-- 3 ``GOICP_CPU``: BnB over the axis-angle π-cube (jly parametrization,
-  ``jly_goicp.cpp:44-48``).
-- 4 ``GOICP_GPU``: BnB over the quaternion cube (fgoicp, ``common.h:40-60``).
+- 3 ``GOICP_CPU`` / 4 ``GOICP_GPU``: globally-optimal BnB.  Both map to the
+  flat SE(3) product engine over the axis-angle π-cube by default
+  (``jly_goicp.cpp:44-48`` parametrization — its exponential map gives the
+  uniform uncertainty bound; fgoicp's quaternion cube (``common.h:40-60``)
+  is available via ``[tpu] rotation_param = "quaternion"``).  Mode 3 pins
+  axis-angle for strict jly parity; mode 4 honors the config.
 """
 
 from __future__ import annotations
@@ -53,8 +56,15 @@ def bnb_params_from_config(cfg: Config) -> BnbParams:
         lookup=t.lookup,
         grid_resolution=t.grid_resolution,
         grid_expand=t.grid_expand,
-        job_cap=t.trans_batch * 32,
         rot_pop=t.rot_batch,
+        engine=t.engine,
+        bound_backend=t.bound_backend,
+        grid_method=t.grid_method,
+        conservative=t.conservative,
+        checkpoint_path=t.checkpoint_path or None,
+        checkpoint_every=t.checkpoint_every,
+        mesh_cubes=t.mesh_cubes,
+        mesh_points=t.mesh_points,
         # honor [params.rotation/translation].search_depth — the reference
         # parses these into its Config but never uses them (SURVEY §2 C2);
         # depth d ⇒ subdivision floor at root_span / 2^d
@@ -99,7 +109,10 @@ def run_icp_mode(cfg: Config, src, tgt):
         "t": np.asarray(res.transform.t),
         "sse": sse,
         "mse": sse / n_eff,
-        "converged": sse / n_eff <= cfg.mse_threshold or int(res.iters) < params.max_iter,
+        # ≙ main.cpp:125-135: the reference iterates ICP until the error
+        # clears mse_threshold; stopping early (stall / max_iter) is NOT
+        # success — converged means the threshold was actually reached
+        "converged": sse / n_eff <= cfg.mse_threshold,
         "icp_iters": int(res.iters),
         "rot_nodes": 0,
         "trans_nodes": 0,
@@ -126,11 +139,17 @@ def run_goicp_mode(cfg: Config, src, tgt, bus: ProgressBus):
     }
 
 
-def run_scenario(toml_path: str, output_dir: str | None = None) -> dict:
+def run_scenario(
+    toml_path: str,
+    output_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> dict:
     """Full scenario: load → solve → artifacts.  Returns the result dict."""
     enable_persistent_cache()
     log = get_logger()
     cfg = Config.from_toml(toml_path)
+    if checkpoint:
+        cfg.tpu.checkpoint_path = checkpoint
     seed = cfg.tpu.seed
     src = load_cloud(cfg.resolve(cfg.io.source), cfg.subsample, cfg.resize, seed)
     tgt = load_cloud(cfg.resolve(cfg.io.target), cfg.subsample, cfg.resize, seed)
@@ -211,12 +230,19 @@ def main(argv=None) -> int:
         metavar="DIR",
         help="capture a jax.profiler trace of the solve into DIR",
     )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="PATH",
+        help="BnB frontier snapshot file: written every [tpu].checkpoint_every "
+        "rounds and resumed from if it exists (restart-based recovery)",
+    )
     args = ap.parse_args(argv)
     if args.profile:
         import jax
 
         jax.profiler.start_trace(args.profile)
-    out = run_scenario(args.config, args.output)
+    out = run_scenario(args.config, args.output, checkpoint=args.checkpoint)
     if args.profile:
         import jax
 

@@ -85,9 +85,14 @@ class TpuConfig:
 
     grid_resolution: int = 256      # distance-field resolution (ref LUT n=300, registration.hpp:69)
     grid_expand: float = 1.5        # domain expansion around target bbox (ref dt.expandFactor=2, jly_goicp.cpp:57)
-    trans_batch: int = 64           # translation nodes popped per device round (ref: 1, fgoicp.cpp:127)
+    grid_method: str = "edt"        # "edt" (≙ jly DT3D) | "brute" (≙ buildLUTKernel)
     rot_batch: int = 16             # rotation nodes expanded per outer round (ref: 1)
     se3_pop: int = 0                # SE(3) nodes per fused round (0 = auto)
+    engine: str = "se3"             # "se3" (flat product BnB) | "nested" (ref shape)
+    bound_backend: str = "auto"     # "exact" | "grid" | "auto" (size cutoff)
+    conservative: bool = False      # True: certified lbs (grid/f32 slack deducted)
+    checkpoint_path: str = ""       # frontier+incumbent snapshot file ("" = off)
+    checkpoint_every: int = 50      # rounds between snapshots
     min_rot_span: float = 0.0      # 0 = no floor; ε-pruning self-limits depth
     min_trans_span: float = 0.0    # 0 = no floor (ref 0.12, fgoicp.cpp:160)
     icp_max_iter: int = 128         # ref: 1000 initial / 500 refine (fgoicp.cpp:11,77)
@@ -97,7 +102,8 @@ class TpuConfig:
     seed: int = 0                   # subsampling RNG seed (ref uses random_device)
     max_wall_s: float = 300.0       # BnB wall-clock budget per scenario
     mesh_points: int = 1            # device-mesh extent over the point axis
-    mesh_cubes: int = 1             # device-mesh extent over the cube axis
+    mesh_cubes: int = 0             # device-mesh extent over the cube axis
+                                    # (0 = all visible devices; 1 = single-chip)
     icp_refine_factor: float = 2.0  # run ICP when ub < factor*best (ref fgoicp.cpp:75)
 
 

@@ -1,0 +1,220 @@
+"""Fused MXU min-distance kernel — the BnB bound hot path, TPU-native.
+
+Replaces the two round-1 backends on their shared bottleneck:
+
+- the **grid backend** (``nn.grid`` lookups ≙ ``tex3D``, ``registration.cu:27-60``)
+  is bound by XLA's random-gather ceiling (~110 M lookups/s on v5e,
+  measured round 1 — invariant to dtype, table size and index locality);
+- the **exact XLA backend** (``bnb.device_inner._exact_min_d2``) computes the
+  same ``|q|² − 2q·m + |m|²`` expansion but materializes every
+  ``[queries, tile]`` distance block in HBM between the matmul and the min.
+
+This kernel keeps the whole pipeline in VMEM: per (node, query-block)
+program it applies the node's rigid transform to the source block, runs one
+augmented matmul per target tile on the MXU (contraction yields ``|q−m|²``
+directly), and folds the running minimum on the VPU — HBM sees one read of
+the clouds and one ``[B, N]`` result write.  No distance grid, no gathers,
+and the bounds become *exact* (no discretization slack), which also prunes
+the BnB tree harder than any LUT can (≙ the reference's own finding that
+brute force beats trees on GPU, ``README.md:103-106`` — one rung further).
+
+Layouts (pallas_guide tiling rules):
+- source/targets coordinate-major with the big axis on 128-wide lanes /
+  8-deep sublanes: ``src_aug [8, Np]`` rows = (x, y, z, |p|, 0…),
+  ``wm [Mp, 8]`` cols = (m_x, m_y, m_z, 1, |m|², 0…);
+- per-node params ``[B, 16]`` = (R row-major ×9, t ×3, pad) live in SMEM;
+- the augmented query ``qp [8, TQ]`` rows = (−2q_x, −2q_y, −2q_z, |q|², 1, 0…)
+  are built on the VPU from the block + params, so
+  ``w_tile [TM,8] @ qp [8,TQ] = |q−m|² − |q|²·0…`` — one contraction, no
+  separate norm pass (f32 cancellation slack is accounted by the caller's
+  certified-mode ``exact_slack``, ``bnb.solver``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PAD_TGT = 1e15     # padded targets: |m|² sentinel keeps them off every min
+TQ = 1024           # query columns per program (lane multiples of 128)
+TM = 512            # target rows reduced per inner step (sublane multiples)
+
+# MXU precision: HIGH = bf16x3 ≈ f32-accurate for O(1) coordinates at ~2×
+# the speed of HIGHEST's bf16x6 emulation; DEFAULT (1-pass bf16) loses ~1e-2
+# absolute in d² — enough to pick wrong neighbors (round-1 measurement).
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
+                   n_chunks: int, want_idx: bool, precision):
+    """One (node b, query-block n) program: transform, min over all targets."""
+    px = src_ref[0:1, :]
+    py = src_ref[1:2, :]
+    pz = src_ref[2:3, :]                                  # [1, TQ]
+    qx = px * params_ref[0, 0] + py * params_ref[0, 1] + pz * params_ref[0, 2] \
+        + params_ref[0, 9]
+    qy = px * params_ref[0, 3] + py * params_ref[0, 4] + pz * params_ref[0, 5] \
+        + params_ref[0, 10]
+    qz = px * params_ref[0, 6] + py * params_ref[0, 7] + pz * params_ref[0, 8] \
+        + params_ref[0, 11]
+    qn = qx * qx + qy * qy + qz * qz
+    one = jnp.ones_like(qx)
+    zero = jnp.zeros_like(qx)
+    qp = jnp.concatenate(
+        [-2.0 * qx, -2.0 * qy, -2.0 * qz, one, qn, zero, zero, zero], axis=0
+    )                                                     # [8, TQ]
+
+    def body(c, carry):
+        best, bidx = carry
+        w = wm_ref[pl.dslice(c * TM, TM), :]              # [TM, 8]
+        d2 = jax.lax.dot_general(
+            w, qp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                                  # [TM, TQ]
+        cmin = jnp.min(d2, axis=0, keepdims=True)          # [1, TQ]
+        take = cmin < best
+        best = jnp.where(take, cmin, best)
+        if want_idx:
+            carg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :] + c * TM
+            bidx = jnp.where(take, carg, bidx)
+        return best, bidx
+
+    best = jnp.full((1, qp.shape[1]), jnp.inf, jnp.float32)
+    bidx = jnp.zeros((1, qp.shape[1]), jnp.int32)
+    best, bidx = jax.lax.fori_loop(0, n_chunks, body, (best, bidx))
+    d2_ref[:] = jnp.maximum(best, 0.0)
+    if want_idx:
+        idx_ref[:] = bidx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("want_idx", "interpret", "precision")
+)
+def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
+                   precision=_PREC):
+    """``params [B,16]``, ``srcT [8, Np]`` (Np % TQ == 0), ``wm [Mp, 8]``
+    (Mp % TM == 0) → ``(d2 [B, Np], idx [B, Np] int32)``."""
+    B = params.shape[0]
+    Np, Mp = srcT.shape[1], wm.shape[0]
+    grid = (B, Np // TQ)
+    kernel = functools.partial(
+        _min_d2_kernel,
+        n_chunks=Mp // TM,
+        want_idx=want_idx,
+        precision=precision,
+    )
+    out_specs = [pl.BlockSpec((1, TQ), lambda b, n: (b, n))]
+    out_shape = [jax.ShapeDtypeStruct((B, Np), jnp.float32)]
+    if want_idx:
+        out_specs.append(pl.BlockSpec((1, TQ), lambda b, n: (b, n)))
+        out_shape.append(jax.ShapeDtypeStruct((B, Np), jnp.int32))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda b, n: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TQ), lambda b, n: (0, n)),
+            pl.BlockSpec((Mp, 8), lambda b, n: (0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, srcT, wm)
+    return (out[0], out[1]) if want_idx else (out[0], None)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def pack_targets(targets) -> jnp.ndarray:
+    """``[Nt,3] → wm [Mp, 8]`` cols (m_x, m_y, m_z, 1, |m|², 0…), padded to
+    ``TM`` rows with off-scale sentinels."""
+    targets = jnp.asarray(targets, jnp.float32)
+    nt = targets.shape[0]
+    padt = (-nt) % TM
+    if padt:
+        targets = jnp.concatenate(
+            [targets, jnp.full((padt, 3), _PAD_TGT, jnp.float32)]
+        )
+    tn = jnp.sum(targets * targets, axis=1)
+    wm = (
+        jnp.zeros((targets.shape[0], 8), jnp.float32)
+        .at[:, 0:3].set(targets)
+        .at[:, 3].set(1.0)
+        .at[:, 4].set(tn)
+    )
+    return wm
+
+
+def pack_sources(src) -> jnp.ndarray:
+    """``[N,3] → srcT [8, Np]`` rows (x, y, z, 0…), zero-padded to ``TQ``."""
+    src = jnp.asarray(src, jnp.float32)
+    n = src.shape[0]
+    padn = (-n) % TQ
+    if padn:
+        src = jnp.concatenate([src, jnp.zeros((padn, 3), jnp.float32)])
+    return jnp.zeros((8, src.shape[0]), jnp.float32).at[0:3].set(src.T)
+
+
+def pack_params(R, t) -> jnp.ndarray:
+    """``R [B,3,3], t [B,3] → [B,16]`` rigid-transform rows for SMEM."""
+    R = jnp.asarray(R, jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    B = R.shape[0]
+    return jnp.concatenate(
+        [R.reshape(B, 9), t, jnp.zeros((B, 4), jnp.float32)], axis=1
+    )
+
+
+def min_d2_nodes(srcT, wm, params, *, interpret=None, precision=_PREC):
+    """Per-node exact min squared distances: ``d2 [B, Np]`` for queries
+    ``R_b·p + t_b`` (the fused form of ``kernComputeBounds``'s per-point
+    LUT fetch, ``registration.cu:27-60``, minus the LUT)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    d2, _ = _min_d2_padded(
+        params, srcT, wm, want_idx=False, interpret=interpret,
+        precision=precision,
+    )
+    return d2
+
+
+def nearest_neighbor_mxu(queries, targets, *, interpret=None):
+    """Exact NN (values + indices): drop-in for ``nn.brute.nearest_neighbor``.
+
+    ``queries [..., Q, 3]``, ``targets [Nt, 3]`` → ``(d2 [..., Q], idx)``.
+    The returned ``d2`` is recomputed exactly (coordinate differences) from
+    the gathered winner, so downstream mse thresholds at 1e-5 keep full f32
+    accuracy regardless of the in-kernel expansion.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+    if interpret is None:
+        interpret = not _on_tpu()
+    batch_shape = queries.shape[:-2]
+    Q = queries.shape[-2]
+    flat = queries.reshape(-1, 3)
+    total = flat.shape[0]
+    srcT = pack_sources(flat)
+    wm = pack_targets(targets)
+    params = pack_params(
+        jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3), jnp.float32)
+    )
+    _, idx = _min_d2_padded(
+        params, srcT, wm, want_idx=True, interpret=interpret
+    )
+    idx = jnp.minimum(idx[0, :total], targets.shape[0] - 1)
+    diff = flat - jnp.take(targets, idx, axis=0)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return d2.reshape(*batch_shape, Q), idx.reshape(*batch_shape, Q)

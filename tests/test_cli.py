@@ -110,6 +110,31 @@ grid_resolution = 64
         _check(out, R, t, src, tgt, tol=1e-2 if mode == 2 else 5e-3)
 
 
+def test_cli_icp_stall_reports_not_converged(tmp_path, rng):
+    """An ICP that stalls in a local minimum above mse_threshold must report
+    converged=False (≙ main.cpp:125-135 — only the threshold is success;
+    the old `iters < max_iter` disjunct called any early stop a success)."""
+    src = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6
+    tgt = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6  # unrelated
+    write_txt(tmp_path / "source.txt", src)
+    write_ply(tmp_path / "target.ply", tgt)
+    cfg = tmp_path / "stall.toml"
+    cfg.write_text(
+        """
+[io]
+target = "target.ply"
+source = "source.txt"
+
+[params]
+mode = 1
+mse_threshold = 1e-12
+"""
+    )
+    out = run_scenario(str(cfg), output_dir=str(tmp_path / "out_stall"))
+    assert out["mse"] > 1e-12
+    assert out["converged"] is False
+
+
 def test_render_png(tmp_path, rng):
     from goicp_tpu.viz import render_png
 

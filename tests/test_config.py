@@ -54,15 +54,37 @@ source = "s.ply"
 mode = 4
 [tpu]
 grid_resolution = 128
-trans_batch = 32
 rotation_param = "axis_angle"
+engine = "nested"
+bound_backend = "grid"
+conservative = true
+checkpoint_path = "ck.npz"
+checkpoint_every = 7
+mesh_cubes = 4
 """
     )
     cfg = Config.from_toml(str(toml))
     assert cfg.tpu.grid_resolution == 128
-    assert cfg.tpu.trans_batch == 32
     assert cfg.tpu.rotation_param == "axis_angle"
     assert cfg.tpu.lookup == "nearest"  # default (ref CPU DT semantics)
+    assert cfg.tpu.engine == "nested"
+    assert cfg.tpu.bound_backend == "grid"
+    assert cfg.tpu.conservative is True
+    assert cfg.tpu.checkpoint_path == "ck.npz"
+    assert cfg.tpu.checkpoint_every == 7
+    assert cfg.tpu.mesh_cubes == 4
+
+    # every [tpu] knob reaches the solver parameters (no dead config —
+    # the smell SURVEY §2 C2 called out in the reference)
+    from goicp_tpu.cli import bnb_params_from_config
+
+    p = bnb_params_from_config(cfg)
+    assert p.engine == "nested"
+    assert p.bound_backend == "grid"
+    assert p.conservative is True
+    assert p.checkpoint_path == "ck.npz"
+    assert p.checkpoint_every == 7
+    assert p.mesh_cubes == 4
 
 
 def test_effective_trim_fraction():

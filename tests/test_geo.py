@@ -207,3 +207,21 @@ def test_quat_cube_max_angle_saturates_at_pi():
             cosang = (np.trace(R0.T @ R) - 1) / 2
             ang = float(np.arccos(np.clip(cosang, -1, 1)))
             assert ang <= bound + 1e-4
+
+
+def test_quatparam_numpy_matches_jnp(rng):
+    """The host-side numpy QuatParam adapters (bnb.solver) must agree with
+    the canonical jnp implementations they were ported from."""
+    from goicp_tpu.bnb.solver import QuatParam
+
+    c = (rng.random((64, 3)).astype(np.float32) - 0.5) * 2.2  # some outside
+    s = rng.random(64).astype(np.float32)
+    R_np = QuatParam.rotation(c)
+    R_j = np.asarray(quat_cube_rotation(jnp.asarray(c)))
+    assert np.allclose(R_np, R_j, atol=1e-6)
+    a_np = QuatParam.max_angle(c, s)
+    a_j = np.asarray(quat_cube_max_angle(jnp.asarray(c), jnp.asarray(s)))
+    assert np.allclose(a_np, a_j, atol=1e-6)
+    v_np = QuatParam.valid(c, s)
+    v_j = np.asarray(quat_cube_overlaps_SO3(jnp.asarray(c), jnp.asarray(s)))
+    assert np.array_equal(v_np, v_j)
