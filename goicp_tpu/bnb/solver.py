@@ -222,9 +222,11 @@ class BnbParams:
     inner_levels: int = 7            # max inner subdivision depth
     inner_cap: int = 32              # translation frontier slots per rot cube
     point_tile: int = 128            # point-axis tile in the device inner BnB
-    bound_backend: str = "auto"      # "exact" (brute, slack-free) | "grid" |
-                                     # "auto": exact when the target cloud is
-                                     # small enough to stream (≤ exact_max)
+    bound_backend: str = "auto"      # "mxu" (fused Pallas brute force, TPU) |
+                                     # "exact" (XLA brute, slack-free) |
+                                     # "grid" | "auto": mxu on TPU below
+                                     # mxu_max targets, else exact below
+                                     # exact_max, else grid
     bound_points: int = 8192         # BnB solves on at most this many source
                                      # points (deterministic subset); the
                                      # final pose is ICP-polished on the full
@@ -236,6 +238,14 @@ class BnbParams:
                                      # bounds lose to O(1) grid lookups once
                                      # node_count×N×Nt dominates (the same
                                      # economics as jly's DT, SURVEY §2 C11)
+    mxu_max: int = 32768             # auto-backend cutoff for the fused
+                                     # Pallas kernel (TPU only): it streams
+                                     # targets through VMEM at ~400 G pairs/s
+                                     # (measured v5e) vs the ~110 M lookups/s
+                                     # XLA gather ceiling — the break-even is
+                                     # Nt ≈ pairs_rate/gather_rate ≈ 3-4k per
+                                     # lookup, i.e. grid only wins for very
+                                     # large targets
     icp_exact_max: int = 16384       # use exact-NN ICP (true SSE) below this
     init_multistart: int = 64        # batched multi-start ICP seeds (ref: 1,
                                      # identity only, fgoicp.cpp:11) — a TPU
@@ -338,11 +348,17 @@ class GoIcpSolver:
 
         # exact bounds beat the grid when the target cloud streams through
         # VMEM (≙ the reference's own brute-force-beats-kd-tree finding,
-        # README.md:103-106) — and carry zero discretization slack
+        # README.md:103-106) — and carry zero discretization slack.  On TPU
+        # the fused Pallas kernel (nn.mxu) raises the exact cutoff ~60×.
         if params.bound_backend == "auto":
-            self._backend = (
-                "exact" if self.tgt.shape[0] <= params.exact_max else "grid"
-            )
+            from goicp_tpu.nn.mxu import _on_tpu
+
+            if _on_tpu() and self.tgt.shape[0] <= params.mxu_max:
+                self._backend = "mxu"
+            elif self.tgt.shape[0] <= params.exact_max:
+                self._backend = "exact"
+            else:
+                self._backend = "grid"
         else:
             self._backend = params.bound_backend
 
@@ -637,10 +653,12 @@ class GoIcpSolver:
                     self._src_dev,
                     self.ev.norms,
                     self.grid,
-                    self._tgt_dev if self._backend == "exact" else self._tgt_dev[:1],
+                    self._tgt_dev
+                    if self._backend in ("exact", "mxu")
+                    else self._tgt_dev[:1],
                     jnp.float32(
                         self._exact_slack
-                        if self._backend == "exact"
+                        if self._backend in ("exact", "mxu")
                         else self.ev.slack
                     ),
                     jnp.asarray(R_pad),
@@ -656,7 +674,12 @@ class GoIcpSolver:
                     h=(self.ev.h if p.trim_fraction > 0 else 0),
                     lookup=p.lookup,
                     tile=p.point_tile,
-                    backend=self._backend,
+                    # the nested device-inner loop has no fused-kernel path;
+                    # mxu degrades to the XLA exact expansion there
+                    backend=(
+                        "exact" if self._backend in ("exact", "mxu")
+                        else "grid"
+                    ),
                 )
                 ub_c = np.asarray(inc_ub)[:C]
                 lb_c = np.minimum(np.asarray(inc_lb), np.asarray(unres_lb))[:C]

@@ -64,20 +64,27 @@ jax.tree_util.register_pytree_node(
 def exact_correspondence(targets, use_pallas: Optional[bool] = None) -> Callable:
     """Correspondence closure: exact brute-force NN against ``targets [Nt,3]``.
 
-    ``use_pallas=True`` routes through the fused VMEM-resident kernel
-    (``goicp_tpu.nn.pallas_nn``); default (None) consults the
-    ``GOICP_TPU_PALLAS`` env switch (off unless set — the XLA path is the
-    portable baseline)."""
+    Default (None): on TPU the fused VMEM-resident MXU kernel
+    (``goicp_tpu.nn.mxu``) is used — it beats the XLA scan path by keeping
+    the distance tiles out of HBM (measured round 2); elsewhere (CPU test
+    mesh) the XLA path runs.  ``GOICP_TPU_PALLAS=0`` forces XLA everywhere;
+    ``use_pallas=True`` forces the kernel (interpret mode off-TPU)."""
     import os
 
     targets = jnp.asarray(targets, jnp.float32)
     if use_pallas is None:
-        use_pallas = os.environ.get("GOICP_TPU_PALLAS", "0") == "1"
+        env = os.environ.get("GOICP_TPU_PALLAS")
+        if env is not None:
+            use_pallas = env == "1"
+        else:
+            from goicp_tpu.nn.mxu import _on_tpu
+
+            use_pallas = _on_tpu()
     if use_pallas:
-        from goicp_tpu.nn.pallas_nn import nearest_neighbor_pallas
+        from goicp_tpu.nn.mxu import nearest_neighbor_mxu
 
         def corr(pts):
-            d2, idx = nearest_neighbor_pallas(pts, targets)
+            d2, idx = nearest_neighbor_mxu(pts, targets)
             return jnp.take(targets, idx, axis=0), d2
 
         return corr

@@ -51,32 +51,46 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
-                   n_chunks: int, want_idx: bool, precision):
-    """One (node b, query-block n) program: transform, min over all targets."""
+                   n_chunks: int, want_idx: bool, precision,
+                   variant: str = "dot"):
+    """One (node b, query-block n) program: transform, min over all targets.
+
+    ``variant``: "dot" rides the MXU via the augmented |q−m|² contraction
+    (bf16 DEFAULT ≈ 4× the f32 bf16x6 emulation, at ~1e-2 absolute d²
+    error); "diff" computes coordinate differences on the VPU — exact f32
+    at K=8-matmul-free throughput.
+    """
+    b = pl.program_id(0)
     px = src_ref[0:1, :]
     py = src_ref[1:2, :]
     pz = src_ref[2:3, :]                                  # [1, TQ]
-    qx = px * params_ref[0, 0] + py * params_ref[0, 1] + pz * params_ref[0, 2] \
-        + params_ref[0, 9]
-    qy = px * params_ref[0, 3] + py * params_ref[0, 4] + pz * params_ref[0, 5] \
-        + params_ref[0, 10]
-    qz = px * params_ref[0, 6] + py * params_ref[0, 7] + pz * params_ref[0, 8] \
-        + params_ref[0, 11]
+    qx = px * params_ref[b, 0] + py * params_ref[b, 1] + pz * params_ref[b, 2] \
+        + params_ref[b, 9]
+    qy = px * params_ref[b, 3] + py * params_ref[b, 4] + pz * params_ref[b, 5] \
+        + params_ref[b, 10]
+    qz = px * params_ref[b, 6] + py * params_ref[b, 7] + pz * params_ref[b, 8] \
+        + params_ref[b, 11]
     qn = qx * qx + qy * qy + qz * qz
     one = jnp.ones_like(qx)
     zero = jnp.zeros_like(qx)
     qp = jnp.concatenate(
-        [-2.0 * qx, -2.0 * qy, -2.0 * qz, one, qn, zero, zero, zero], axis=0
+        [-2.0 * qx, -2.0 * qy, -2.0 * qz, qn, one, zero, zero, zero], axis=0
     )                                                     # [8, TQ]
 
     def body(c, carry):
         best, bidx = carry
         w = wm_ref[pl.dslice(c * TM, TM), :]              # [TM, 8]
-        d2 = jax.lax.dot_general(
-            w, qp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )                                                  # [TM, TQ]
+        if variant == "diff":
+            dx = w[:, 0:1] - qx                            # [TM, TQ]
+            dy = w[:, 1:2] - qy
+            dz = w[:, 2:3] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+        else:
+            d2 = jax.lax.dot_general(
+                w, qp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )                                              # [TM, TQ]
         cmin = jnp.min(d2, axis=0, keepdims=True)          # [1, TQ]
         take = cmin < best
         best = jnp.where(take, cmin, best)
@@ -88,16 +102,17 @@ def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
     best = jnp.full((1, qp.shape[1]), jnp.inf, jnp.float32)
     bidx = jnp.zeros((1, qp.shape[1]), jnp.int32)
     best, bidx = jax.lax.fori_loop(0, n_chunks, body, (best, bidx))
-    d2_ref[:] = jnp.maximum(best, 0.0)
+    d2_ref[0, :, :] = jnp.maximum(best, 0.0)
     if want_idx:
-        idx_ref[:] = bidx
+        idx_ref[0, :, :] = bidx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("want_idx", "interpret", "precision")
+    jax.jit,
+    static_argnames=("want_idx", "interpret", "precision", "variant"),
 )
 def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
-                   precision=_PREC):
+                   precision=_PREC, variant: str = "dot"):
     """``params [B,16]``, ``srcT [8, Np]`` (Np % TQ == 0), ``wm [Mp, 8]``
     (Mp % TM == 0) → ``(d2 [B, Np], idx [B, Np] int32)``."""
     B = params.shape[0]
@@ -108,18 +123,23 @@ def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
         n_chunks=Mp // TM,
         want_idx=want_idx,
         precision=precision,
+        variant=variant,
     )
-    out_specs = [pl.BlockSpec((1, TQ), lambda b, n: (b, n))]
-    out_shape = [jax.ShapeDtypeStruct((B, Np), jnp.float32)]
+    # outputs are [B, 1, Np]: a (1, 1, TQ) block keeps the last-two dims
+    # legal for Mosaic ((1, TQ) with the middle dim equal to the array's)
+    out_specs = [pl.BlockSpec((1, 1, TQ), lambda b, n: (b, 0, n))]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, Np), jnp.float32)]
     if want_idx:
-        out_specs.append(pl.BlockSpec((1, TQ), lambda b, n: (b, n)))
-        out_shape.append(jax.ShapeDtypeStruct((B, Np), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, TQ), lambda b, n: (b, 0, n)))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1, Np), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16), lambda b, n: (b, 0),
-                         memory_space=pltpu.SMEM),
+            # whole params array resident (scalar reads by program id):
+            # SMEM rejects sub-(8,128) blocks, and a [B,16] f32 table can
+            # exceed SMEM anyway at production batch sizes
+            pl.BlockSpec((B, 16), lambda b, n: (0, 0)),
             pl.BlockSpec((8, TQ), lambda b, n: (0, n)),
             pl.BlockSpec((Mp, 8), lambda b, n: (0, 0)),
         ],
@@ -127,7 +147,9 @@ def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
         out_shape=out_shape,
         interpret=interpret,
     )(params, srcT, wm)
-    return (out[0], out[1]) if want_idx else (out[0], None)
+    if want_idx:
+        return out[0].reshape(B, Np), out[1].reshape(B, Np)
+    return out[0].reshape(B, Np), None
 
 
 def _on_tpu() -> bool:
@@ -177,7 +199,8 @@ def pack_params(R, t) -> jnp.ndarray:
     )
 
 
-def min_d2_nodes(srcT, wm, params, *, interpret=None, precision=_PREC):
+def min_d2_nodes(srcT, wm, params, *, interpret=None, precision=_PREC,
+                 variant: str = "diff"):
     """Per-node exact min squared distances: ``d2 [B, Np]`` for queries
     ``R_b·p + t_b`` (the fused form of ``kernComputeBounds``'s per-point
     LUT fetch, ``registration.cu:27-60``, minus the LUT)."""
@@ -185,7 +208,7 @@ def min_d2_nodes(srcT, wm, params, *, interpret=None, precision=_PREC):
         interpret = not _on_tpu()
     d2, _ = _min_d2_padded(
         params, srcT, wm, want_idx=False, interpret=interpret,
-        precision=precision,
+        precision=precision, variant=variant,
     )
     return d2
 
@@ -211,8 +234,10 @@ def nearest_neighbor_mxu(queries, targets, *, interpret=None):
     params = pack_params(
         jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3), jnp.float32)
     )
+    # diff variant: exact f32 AND ~20x the argmin throughput of the
+    # HIGHEST-precision dot (the bf16x6 emulation dominates there)
     _, idx = _min_d2_padded(
-        params, srcT, wm, want_idx=True, interpret=interpret
+        params, srcT, wm, want_idx=True, interpret=interpret, variant="diff"
     )
     idx = jnp.minimum(idx[0, :total], targets.shape[0] - 1)
     diff = flat - jnp.take(targets, idx, axis=0)

@@ -1,0 +1,123 @@
+"""Fused MXU min-distance kernel (nn.mxu): correctness vs numpy oracles.
+
+Runs in Pallas interpret mode on the CPU test mesh; the TPU-compiled path is
+exercised by the hardware benchmarks (BENCH_r*.json) and shares the exact
+same kernel jaxpr.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from goicp_tpu.nn import mxu
+from tests.conftest import random_rotation
+
+
+def _scene(rng, n=220, m=330, b=4):
+    src = (rng.random((n, 3)).astype(np.float32) - 0.5) * 0.6
+    tgt = (rng.random((m, 3)).astype(np.float32) - 0.5) * 0.6
+    R = np.stack([random_rotation(rng) for _ in range(b)])
+    t = (rng.random((b, 3)).astype(np.float32) - 0.5) * 0.3
+    return src, tgt, R, t
+
+
+def _oracle_d2(src, tgt, R, t):
+    q = np.einsum("bij,nj->bni", R, src) + t[:, None, :]
+    d = q[:, :, None, :] - tgt[None, None, :, :]
+    return (d * d).sum(-1).min(-1), q
+
+
+@pytest.mark.parametrize("variant", ["diff", "dot"])
+def test_min_d2_nodes_matches_oracle(rng, variant):
+    src, tgt, R, t = _scene(rng)
+    d2_ref, _ = _oracle_d2(src, tgt, R, t)
+    srcT = mxu.pack_sources(src)
+    wm = mxu.pack_targets(tgt)
+    params = mxu.pack_params(R, t)
+    d2 = np.asarray(
+        mxu.min_d2_nodes(srcT, wm, params, interpret=True, variant=variant)
+    )[:, : src.shape[0]]
+    assert np.allclose(d2, d2_ref, atol=2e-6), np.abs(d2 - d2_ref).max()
+
+
+def test_nearest_neighbor_mxu_matches_brute(rng):
+    src, tgt, R, t = _scene(rng, b=2)
+    _, q = _oracle_d2(src, tgt, R, t)
+    queries = q.reshape(-1, 3).astype(np.float32)
+    d2, idx = mxu.nearest_neighbor_mxu(queries, tgt, interpret=True)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    d = queries[:, None, :] - tgt[None, :, :]
+    d2_all = (d * d).sum(-1)
+    assert np.array_equal(idx, d2_all.argmin(-1))
+    # values recomputed from coordinate differences: exact
+    assert np.allclose(d2, d2_all.min(-1), atol=1e-7)
+
+
+def test_nearest_neighbor_mxu_batched_shape(rng):
+    """Batched queries [B, N, 3] keep their batch shape (run_icp contract)."""
+    tgt = (rng.random((150, 3)).astype(np.float32) - 0.5)
+    q = (rng.random((3, 70, 3)).astype(np.float32) - 0.5)
+    d2, idx = mxu.nearest_neighbor_mxu(q, tgt, interpret=True)
+    assert d2.shape == (3, 70) and idx.shape == (3, 70)
+    from goicp_tpu.nn.brute import nearest_neighbor
+
+    d2_ref, idx_ref = nearest_neighbor(jnp.asarray(q), jnp.asarray(tgt))
+    assert np.allclose(np.asarray(d2), np.asarray(d2_ref), atol=1e-7)
+
+
+def test_evaluate_se3_nodes_mxu_matches_exact_backend(rng):
+    """The fused-kernel bound evaluation agrees with the XLA exact backend
+    (same (ub, lb) semantics, different compute path)."""
+    import jax
+
+    from goicp_tpu.bnb.se3 import evaluate_se3_nodes, evaluate_se3_nodes_mxu
+
+    src, tgt, R, t = _scene(rng, n=150, m=200, b=8)
+    norms = jnp.linalg.norm(jnp.asarray(src), axis=-1)
+    max_angle = rng.random(8).astype(np.float32)
+    t_span = (rng.random(8).astype(np.float32)) * 0.1
+    mask = np.ones(8, bool)
+    mask[-1] = False
+
+    from goicp_tpu.nn.grid import build_distance_grid
+
+    grid = build_distance_grid(tgt, n=8, method="brute")
+    args = (
+        jnp.asarray(src), norms, jnp.asarray(tgt), jnp.float32(0.0),
+        jnp.asarray(R), jnp.asarray(max_angle), jnp.asarray(t),
+        jnp.asarray(t_span), jnp.asarray(mask),
+    )
+    for h in (0, 120):
+        ub_x, lb_x = evaluate_se3_nodes(
+            args[0], args[1], grid, *args[2:], h=h, lookup="nearest",
+            backend="exact", tile=128, tgt_tile=256,
+        )
+        ub_m, lb_m = evaluate_se3_nodes_mxu(*args, h=h)
+        assert np.allclose(
+            np.asarray(ub_m)[mask], np.asarray(ub_x)[mask], rtol=1e-4
+        )
+        assert np.allclose(
+            np.asarray(lb_m)[mask], np.asarray(lb_x)[mask],
+            rtol=1e-4, atol=1e-5,
+        )
+        assert np.isinf(np.asarray(ub_m)[~mask]).all()
+
+
+def test_solver_runs_with_mxu_backend(rng):
+    """End-to-end tiny solve on the interpret-mode kernel."""
+    from goicp_tpu.bnb import BnbParams, register
+
+    src = (rng.random((60, 3)).astype(np.float32) - 0.5) * 0.6
+    R = random_rotation(rng)
+    t = np.array([0.08, -0.05, 0.1], np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    res = register(
+        src, tgt,
+        BnbParams(
+            mse_threshold=1e-5, bound_backend="mxu", se3_pop=8,
+            max_rounds=60, init_multistart=4, refine_top_k=2,
+        ),
+    )
+    pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+    rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
+    assert rmse < 5e-3, rmse
