@@ -308,6 +308,44 @@ class GoIcpSolverSE3(GoIcpSolver):
         )
         M_cap = 8 * se3_pop
 
+        # -- device mesh: shard each round's job batch over "cubes" and the
+        # source cloud over "points" (VERDICT r1 item 1; the stream-pool axis
+        # generalized, registration.cu:109-120).  1×1 mesh = the single-chip
+        # fused round.
+        n_p = max(1, p.mesh_points)
+        n_c = (
+            max(1, len(jax.devices()) // n_p)
+            if p.mesh_cubes == 0
+            else max(1, p.mesh_cubes)
+        )
+        sharded_round = None
+        if n_c * n_p > 1:
+            from goicp_tpu.dist.se3 import make_sharded_se3_round, pad_points
+            from goicp_tpu.dist.sharding import make_mesh
+
+            mesh = make_mesh(n_c, n_p)
+            quantum = 1024 if self._backend == "mxu" else p.point_tile
+            src_pad, norms_pad = pad_points(
+                self.src, np.asarray(self.ev.norms), n_p, quantum
+            )
+            self._src_pad_dev = jnp.asarray(src_pad)
+            self._norms_pad_dev = jnp.asarray(norms_pad)
+            M_cap = -(-M_cap // n_c) * n_c
+            sharded_round = make_sharded_se3_round(
+                mesh,
+                h=(self.ev.h if p.trim_fraction > 0 else 0),
+                n_valid=self.src.shape[0],
+                lookup=p.lookup,
+                backend=self._backend,
+                tile=p.point_tile,
+                refine_k=p.refine_top_k,
+                icp_params=self._icp_params,
+                icp_backend=self._icp_backend,
+            )
+            self.log.info(
+                "SE(3) rounds on a %dx%d (cubes x points) device mesh", n_c, n_p
+            )
+
         # resume from a frontier snapshot (restart-based recovery; the BnB
         # state is exactly {frontier, incumbent, counters} — SURVEY §5)
         import os
@@ -406,6 +444,44 @@ class GoIcpSolverSE3(GoIcpSolver):
             ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3]).astype(
                 np.float32
             )
+            if sharded_round is not None:
+                out = sharded_round(
+                    self._src_pad_dev,
+                    self._norms_pad_dev,
+                    self.grid,
+                    self._tgt_dev,
+                    jnp.float32(
+                        self._exact_slack
+                        if self._backend in ("exact", "mxu")
+                        else self.ev.slack
+                    ),
+                    jnp.asarray(
+                        np.concatenate(
+                            [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
+                        )
+                    ),
+                    jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)])),
+                    jnp.asarray(
+                        np.concatenate(
+                            [child[:, 4:7], np.zeros((padn, 3), np.float32)]
+                        )
+                    ),
+                    jnp.asarray(
+                        np.concatenate([child[:, 7], np.zeros(padn, np.float32)])
+                    ),
+                    jnp.asarray(
+                        np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])
+                    ),
+                    self._src_dev,
+                )
+                return {
+                    "child": child,
+                    "lf": lf,
+                    "R_c": R_c,
+                    "C": C,
+                    "out": out,
+                    "parents": (pay, pop_lb, pop_ub),
+                }
             out = se3_round(
                 self._src_dev,
                 self.ev.norms,
