@@ -82,29 +82,14 @@ def _trimmed_sum_bisect(x, h: int, upper: bool, iters: int = 24):
     return S + rem * (hi if upper else lo)
 
 
-@functools.partial(jax.jit, static_argnames=("h",))
-def evaluate_se3_nodes_mxu(
-    src, norms, tgt, slack, R, max_angle, t_c, t_span, mask, *, h: int,
-):
-    """Fused-kernel bound evaluation: one Pallas dispatch computes the exact
-    per-point NN distances for every node (``nn.mxu.min_d2_nodes``); the
-    deflation + (trimmed) reductions are a thin XLA epilogue over ``[M, Np]``.
-
-    ≙ ``kernComputeBounds`` + reduce (``registration.cu:27-60,88-151``) with
-    the LUT texture replaced by exact VMEM-resident brute force — faster on
-    TPU than the gather-bound grid (measured round 2) AND slack-free.
-    """
-    from goicp_tpu.nn import mxu as _mxu
-
-    M, N = R.shape[0], src.shape[0]
+def _deflate_and_reduce(d2, norms, slack, max_angle, t_span, mask, *,
+                        h: int, N: int):
+    """Shared bound epilogue over per-node exact distances ``d2 [M, Np]``:
+    Yang et al. eq. 10 deflation by the per-point rotation radius and the
+    translation corner radius, then (trimmed) sums (≙ the thrust reduces at
+    ``registration.cu:123-142``)."""
+    M, Np = d2.shape
     drop = 0 if h in (0, N) else N - h
-
-    srcT = _mxu.pack_sources(src)                      # [8, Np]
-    wm = _mxu.pack_targets(tgt)                        # [Mp, 8]
-    params = _mxu.pack_params(R, t_c)                  # [M, 16]
-    d2 = _mxu.min_d2_nodes(srcT, wm, params)           # [M, Np]
-    Np = d2.shape[1]
-
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     d_lo = jnp.maximum(d - slack, 0.0)
     d_hi = d + slack
@@ -123,6 +108,58 @@ def evaluate_se3_nodes_mxu(
         s_ub = jnp.sum(ub_c, axis=-1)
         s_lb = jnp.sum(lb_c, axis=-1)
     return jnp.where(mask, s_ub, _INF), jnp.where(mask, s_lb, _INF)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def evaluate_se3_nodes_mxu(
+    src, norms, tgt, slack, R, max_angle, t_c, t_span, mask, *, h: int,
+):
+    """Fused-kernel bound evaluation: one Pallas dispatch computes the exact
+    per-point NN distances for every node (``nn.mxu.min_d2_nodes``); the
+    deflation + (trimmed) reductions are a thin XLA epilogue over ``[M, Np]``.
+
+    ≙ ``kernComputeBounds`` + reduce (``registration.cu:27-60,88-151``) with
+    the LUT texture replaced by exact VMEM-resident brute force — faster on
+    TPU than the gather-bound grid (measured round 2) AND slack-free.
+    """
+    from goicp_tpu.nn import mxu as _mxu
+
+    N = src.shape[0]
+    srcT = _mxu.pack_sources(src)                      # [8, Np]
+    wm = _mxu.pack_targets(tgt)                        # [Mp, 8]
+    params = _mxu.pack_params(R, t_c)                  # [M, 16]
+    d2 = _mxu.min_d2_nodes(srcT, wm, params)           # [M, Np]
+    return _deflate_and_reduce(
+        d2, norms, slack, max_angle, t_span, mask, h=h, N=N
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def evaluate_se3_groups_mxu(
+    src, norms, tgt, slack, R, max_angle, t8, t_span8, mask, *, h: int,
+):
+    """Grouped bound evaluation for 8 translation siblings per rotation
+    (an octant t-split): ``R [G,3,3]``, ``max_angle [G]``, ``t8 [G,8,3]``,
+    ``t_span8 [G,8]``, ``mask [G·8]`` → ``(ub, lb) [G·8]`` in group-major
+    node order.  The grouped Pallas kernel amortizes the base distance plane
+    over the 8 siblings (~3 VPU ops/pair vs 9 — ``nn.mxu`` docs)."""
+    from goicp_tpu.nn import mxu as _mxu
+
+    N = src.shape[0]
+    srcT = _mxu.pack_sources(src)
+    wm = _mxu.pack_targets(tgt)
+    gparams = _mxu.pack_group_params(R, t8)            # [G, 48]
+    d2 = _mxu.min_d2_groups(srcT, wm, gparams)         # [8G, Np]
+    return _deflate_and_reduce(
+        d2,
+        norms,
+        slack,
+        jnp.repeat(max_angle, 8),
+        t_span8.reshape(-1),
+        mask,
+        h=h,
+        N=N,
+    )
 
 
 @functools.partial(
@@ -259,6 +296,16 @@ def se3_round(
             src, norms, grid, tgt, slack, R, max_angle, t_c, t_span, mask,
             h=h, lookup=lookup, backend=backend, tile=tile, tgt_tile=tgt_tile,
         )
+    return _refine_tail(
+        ub, lb, R, t_c, src, grid, tgt, refine_k, icp_params, icp_backend
+    )
+
+
+def _refine_tail(ub, lb, R, t_c, src, grid, tgt, refine_k, icp_params,
+                 icp_backend):
+    """Shared round tail: batched ICP on the ``refine_k`` best-ub nodes."""
+    from goicp_tpu.icp import exact_correspondence, grid_correspondence, run_icp
+
     _, top = jax.lax.top_k(-ub, refine_k)
     R0 = jnp.take(R, top, axis=0)
     t0 = jnp.take(t_c, top, axis=0)
@@ -269,6 +316,50 @@ def se3_round(
     )
     res = run_icp(src, corr, RigidTransform(R0, t0), icp_params)
     return ub, lb, res.transform.R, res.transform.t, res.sse, res.iters
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "lookup", "backend", "tile", "tgt_tile", "refine_k", "icp_params",
+        "icp_backend",
+    ),
+)
+def se3_round_grouped(
+    src, norms, grid, tgt, slack,
+    R, max_angle, t8, t_span8, mask,
+    *,
+    h: int,
+    lookup: str,
+    backend: str,
+    tile: int,
+    tgt_tile: int,
+    refine_k: int,
+    icp_params,
+    icp_backend: str,
+):
+    """One fused BnB round over TRANSLATION-SPLIT groups: ``G`` parent
+    rotations × 8 translation octant children each (``R [G,3,3]``,
+    ``t8 [G,8,3]``).  On the mxu backend the grouped kernel amortizes the
+    rotation's distance plane across the 8 siblings; other backends flatten
+    to per-node jobs.  Node order of all outputs is group-major."""
+    G = R.shape[0]
+    R_flat = jnp.repeat(R, 8, axis=0)                  # [8G,3,3]
+    t_flat = t8.reshape(8 * G, 3)
+    if backend == "mxu":
+        ub, lb = evaluate_se3_groups_mxu(
+            src, norms, tgt, slack, R, max_angle, t8, t_span8, mask, h=h,
+        )
+    else:
+        ub, lb = evaluate_se3_nodes(
+            src, norms, grid, tgt, slack, R_flat,
+            jnp.repeat(max_angle, 8), t_flat, t_span8.reshape(-1), mask,
+            h=h, lookup=lookup, backend=backend, tile=tile, tgt_tile=tgt_tile,
+        )
+    return _refine_tail(
+        ub, lb, R_flat, t_flat, src, grid, tgt, refine_k, icp_params,
+        icp_backend,
+    )
 
 
 class GoIcpSolverSE3(GoIcpSolver):
@@ -292,13 +383,50 @@ class GoIcpSolverSE3(GoIcpSolver):
         # achievable rms distance (ε-rule analogue of fgoicp.cpp:160)
         trans_floor = max(p.min_trans_span, 1e-5)
 
-        # frontier payload: [r_c(3), r_span, t_c(3), t_span]
-        frontier = make_frontier(8)
+        beta = max(p.split_beta, 1e-6)
+
+        def classify(pay):
+            """Next split type per node, from payload alone: rotation octant,
+            translation octant, or leaf.  ``split_beta > 1`` biases toward
+            translation splits (grouped rounds are ~3× cheaper per node on
+            the fused kernel)."""
+            r_s, t_s = pay[:, 3], pay[:, 7]
+            g_rot = 2.0 * np.sin(
+                np.minimum(_SQRT3 * r_s, np.pi) / 2.0
+            ) * mean_norm
+            g_tr = _SQRT3 * t_s
+            can_rot = r_s / 2.0 >= rot_floor
+            split_rot = (
+                (g_rot >= beta * g_tr) | (t_s / 2.0 < trans_floor)
+            ) & can_rot
+            is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
+            return split_rot, is_leaf
+
+        # TWO frontiers, partitioned by next-split type so every device
+        # round is homogeneous: R-rounds run the singleton kernel, T-rounds
+        # the grouped 8-sibling kernel at full occupancy.  Leaves ride the
+        # R-frontier (they are evaluated as themselves).  Best-first order
+        # is preserved by always popping the frontier with the smaller lb.
+        fR = make_frontier(8)
+        fT = make_frontier(8)
+
+        def push_classified(pay, lb, ub):
+            split_rot, is_leaf = classify(pay)
+            to_t = ~split_rot & ~is_leaf
+            if to_t.any():
+                fT.push(pay[to_t], lb[to_t], ub[to_t])
+            if not to_t.all():
+                fR.push(pay[~to_t], lb[~to_t], ub[~to_t])
+
         root = np.array(
             [0.0, 0.0, 0.0, root_rspan, *p.trans_center, p.trans_span],
             np.float32,
         )
-        frontier.push(root[None], [0.0], [np.inf])
+        push_classified(
+            root[None],
+            np.zeros(1, np.float32),
+            np.full(1, np.inf, np.float32),
+        )
 
         leaf_lb = float("inf")
         rounds = 0
@@ -307,6 +435,20 @@ class GoIcpSolverSE3(GoIcpSolver):
             64, min(4096, int(32e6 / (8 * self.src.shape[0])))
         )
         M_cap = 8 * se3_pop
+        # job-count buckets: compile a few round sizes instead of padding
+        # every round to M_cap (measured 41% padded-slot waste on bunny@0.05)
+        _buckets = []
+        b = 2048
+        while b < M_cap:
+            _buckets.append(b)
+            b *= 2
+        _buckets.append(M_cap)
+
+        def bucket(n):
+            for b in _buckets:
+                if n <= b:
+                    return b
+            return M_cap
 
         # -- device mesh: shard each round's job batch over "cubes" and the
         # source cloud over "points" (VERDICT r1 item 1; the stream-pool axis
@@ -355,8 +497,9 @@ class GoIcpSolverSE3(GoIcpSolver):
 
         if p.checkpoint_path and os.path.exists(p.checkpoint_path):
             ck = np.load(p.checkpoint_path)
-            frontier = make_frontier(8)
-            frontier.push(ck["payload"], ck["lb"], ck["ub"])
+            fR = make_frontier(8)
+            fT = make_frontier(8)
+            push_classified(ck["payload"], ck["lb"], ck["ub"])
             if float(ck["best_sse"]) < best_sse:
                 best_sse = float(ck["best_sse"])
                 best_R, best_t = ck["best_R"], ck["best_t"]
@@ -367,14 +510,18 @@ class GoIcpSolverSE3(GoIcpSolver):
                 "resumed from %s: round %d, frontier %d, best sse %.6g",
                 p.checkpoint_path,
                 rounds,
-                len(frontier),
+                len(fR) + len(fT),
                 best_sse,
             )
 
         def save_checkpoint():
             if not p.checkpoint_path:
                 return
-            pay, lb, ub = frontier.dump()
+            payR, lbR, ubR = fR.dump()
+            payT, lbT, ubT = fT.dump()
+            pay = np.concatenate([payR, payT])
+            lb = np.concatenate([lbR, lbT])
+            ub = np.concatenate([ubR, ubT])
             # Rounds still in flight hold nodes that are in neither the
             # frontier nor any pushed children; losing them would leave
             # permanently unexplored regions after a resume.  Re-include
@@ -400,32 +547,127 @@ class GoIcpSolverSE3(GoIcpSolver):
             )
             os.replace(tmp, p.checkpoint_path)
 
-        def dispatch():
-            """Pop → split → launch one fused device round (async)."""
-            pay, pop_lb, pop_ub = frontier.pop_best(se3_pop)
+        def dispatch_T():
+            """Pop translation-split nodes → 8 octant t-children per parent,
+            all sharing the parent rotation → one GROUPED device round."""
+            pay, pop_lb, pop_ub = fT.pop_best(se3_pop)
             B = pay.shape[0]
-            r_s, t_s = pay[:, 3], pay[:, 7]
+            m.count("pops_trans", B)
+            m.count("se3_nodes", 8 * B)
 
-            # split the dimension with the larger uncertainty radius
-            g_rot = 2.0 * np.sin(
-                np.minimum(_SQRT3 * r_s, np.pi) / 2.0
-            ) * mean_norm
-            g_tr = _SQRT3 * t_s
-            can_rot = r_s / 2.0 >= rot_floor
-            split_rot = ((g_rot >= g_tr) | (t_s / 2.0 < trans_floor)) & can_rot
-            is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
+            half_t = pay[:, 7] / 2.0                    # [B]
+            t8 = pay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]
+            t8 = t8.astype(np.float32)                  # [B,8,3]
+            R_g = self.rotparam.rotation(pay[:, 0:3])   # [B,3,3]
+            ang_g = self.rotparam.max_angle(pay[:, 0:3], pay[:, 3]).astype(
+                np.float32
+            )
+            # child payloads, group-major (kernel output order)
+            child = np.repeat(pay, 8, axis=0)
+            child[:, 4:7] = t8.reshape(8 * B, 3)
+            child[:, 7] = np.repeat(half_t, 8)
+            C = 8 * B
 
+            G_cap = bucket(C) // 8
+            padg = G_cap - B
+            R_pad = np.concatenate(
+                [R_g, np.tile(np.eye(3, dtype=np.float32), (padg, 1, 1))]
+            )
+            ang_pad = np.concatenate([ang_g, np.zeros(padg, np.float32)])
+            t8_pad = np.concatenate([t8, np.zeros((padg, 8, 3), np.float32)])
+            ts8 = np.repeat(half_t, 8).reshape(B, 8)
+            ts8_pad = np.concatenate([ts8, np.zeros((padg, 8), np.float32)])
+            mask = np.zeros(8 * G_cap, bool)
+            mask[:C] = True
+
+            if sharded_round is not None:
+                out = _dispatch_sharded(
+                    np.repeat(R_pad, 8, axis=0),
+                    np.repeat(ang_pad, 8),
+                    t8_pad.reshape(-1, 3),
+                    ts8_pad.reshape(-1),
+                    mask,
+                )
+            else:
+                out = se3_round_grouped(
+                    self._src_dev,
+                    self.ev.norms,
+                    self.grid,
+                    self._tgt_dev,
+                    jnp.float32(
+                        self._exact_slack
+                        if self._backend in ("exact", "mxu")
+                        else self.ev.slack
+                    ),
+                    jnp.asarray(R_pad),
+                    jnp.asarray(ang_pad),
+                    jnp.asarray(t8_pad),
+                    jnp.asarray(ts8_pad),
+                    jnp.asarray(mask),
+                    h=(self.ev.h if p.trim_fraction > 0 else 0),
+                    lookup=p.lookup,
+                    backend=self._backend,
+                    tile=p.point_tile,
+                    tgt_tile=256,
+                    refine_k=p.refine_top_k,
+                    icp_params=self._icp_params,
+                    icp_backend=self._icp_backend,
+                )
+            return {
+                "child": child,
+                "lf": np.zeros(C, bool),
+                "R_c": np.repeat(R_g, 8, axis=0),
+                "C": C,
+                "out": out,
+                "parents": (pay, pop_lb, pop_ub),
+            }
+
+        def _dispatch_sharded(R_c, ang_c, t_c, t_s, mask):
+            """Launch the mesh round on flat job arrays (both round kinds)."""
+            Mj = R_c.shape[0]
+            Mpad = -(-Mj // (n_c or 1)) * (n_c or 1) - Mj
+            if Mpad:
+                R_c = np.concatenate(
+                    [R_c, np.tile(np.eye(3, dtype=np.float32), (Mpad, 1, 1))]
+                )
+                ang_c = np.concatenate([ang_c, np.zeros(Mpad, np.float32)])
+                t_c = np.concatenate([t_c, np.zeros((Mpad, 3), np.float32)])
+                t_s = np.concatenate([t_s, np.zeros(Mpad, np.float32)])
+                mask = np.concatenate([mask, np.zeros(Mpad, bool)])
+            return sharded_round(
+                self._src_pad_dev,
+                self._norms_pad_dev,
+                self.grid,
+                self._tgt_dev,
+                jnp.float32(
+                    self._exact_slack
+                    if self._backend in ("exact", "mxu")
+                    else self.ev.slack
+                ),
+                jnp.asarray(R_c),
+                jnp.asarray(ang_c),
+                jnp.asarray(t_c),
+                jnp.asarray(t_s),
+                jnp.asarray(mask),
+                self._src_dev,
+            )
+
+        def dispatch_R():
+            """Pop rotation-split nodes (and leaves) → octant r-children as
+            singleton jobs → one singleton device round."""
+            pay, pop_lb, pop_ub = fR.pop_best(se3_pop)
+            B = pay.shape[0]
+            split_rot, is_leaf = classify(pay)
+
+            m.count("pops_rot", int(split_rot.sum()))
+            m.count("pops_leaf", int(is_leaf.sum()))
             child = np.repeat(pay, 8, axis=0)          # [8B, 8]
             oct8 = np.tile(_OCTANTS, (B, 1))           # [8B, 3]
             sr = np.repeat(split_rot, 8)
             lf = np.repeat(is_leaf, 8)
-            half_r = np.repeat(r_s, 8) / 2.0
+            half_r = np.repeat(pay[:, 3], 8) / 2.0
             child[sr, 0:3] += oct8[sr] * half_r[sr, None]
             child[sr, 3] = half_r[sr]
-            half_t = np.repeat(t_s, 8) / 2.0
-            tsel = ~sr & ~lf
-            child[tsel, 4:7] += oct8[tsel] * half_t[tsel, None]
-            child[tsel, 7] = half_t[tsel]
             # leaves: keep only one copy (slot 0 of each 8-block)
             keep_child = np.ones(8 * B, bool)
             if lf.any():
@@ -439,40 +681,22 @@ class GoIcpSolverSE3(GoIcpSolver):
                 return None
             m.count("se3_nodes", C)
 
-            padn = M_cap - C
+            padn = bucket(C) - C
             R_c = self.rotparam.rotation(child[:, 0:3])
             ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3]).astype(
                 np.float32
             )
             if sharded_round is not None:
-                out = sharded_round(
-                    self._src_pad_dev,
-                    self._norms_pad_dev,
-                    self.grid,
-                    self._tgt_dev,
-                    jnp.float32(
-                        self._exact_slack
-                        if self._backend in ("exact", "mxu")
-                        else self.ev.slack
+                out = _dispatch_sharded(
+                    np.concatenate(
+                        [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
                     ),
-                    jnp.asarray(
-                        np.concatenate(
-                            [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
-                        )
+                    np.concatenate([ang_c, np.zeros(padn, np.float32)]),
+                    np.concatenate(
+                        [child[:, 4:7], np.zeros((padn, 3), np.float32)]
                     ),
-                    jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)])),
-                    jnp.asarray(
-                        np.concatenate(
-                            [child[:, 4:7], np.zeros((padn, 3), np.float32)]
-                        )
-                    ),
-                    jnp.asarray(
-                        np.concatenate([child[:, 7], np.zeros(padn, np.float32)])
-                    ),
-                    jnp.asarray(
-                        np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])
-                    ),
-                    self._src_dev,
+                    np.concatenate([child[:, 7], np.zeros(padn, np.float32)]),
+                    np.concatenate([np.ones(C, bool), np.zeros(padn, bool)]),
                 )
                 return {
                     "child": child,
@@ -521,6 +745,9 @@ class GoIcpSolverSE3(GoIcpSolver):
                 "parents": (pay, pop_lb, pop_ub),
             }
 
+        def frontier_min_lb():
+            return min(fR.min_lb(), fT.min_lb())
+
         def absorb(work):
             """Fetch one round's results; update incumbent, prune, push."""
             nonlocal best_R, best_t, best_sse, leaf_lb, converged
@@ -533,7 +760,8 @@ class GoIcpSolverSE3(GoIcpSolver):
             if float(sse_ref[j]) < best_sse:
                 best_sse = float(sse_ref[j])
                 best_R, best_t = R_ref[j], t_ref[j]
-                frontier.prune(best_sse - self.sse_thresh)
+                fR.prune(best_sse - self.sse_thresh)
+                fT.prune(best_sse - self.sse_thresh)
                 self.log.info(
                     "round %d: new best sse=%.6g (mse=%.6g)",
                     rounds,
@@ -544,14 +772,15 @@ class GoIcpSolverSE3(GoIcpSolver):
             if float(ub_c[j]) < best_sse:
                 best_sse = float(ub_c[j])
                 best_R, best_t = R_c[j], child[j, 4:7]
-                frontier.prune(best_sse - self.sse_thresh)
+                fR.prune(best_sse - self.sse_thresh)
+                fT.prune(best_sse - self.sse_thresh)
 
             alive = lb_c < best_sse - self.sse_thresh
             if (alive & lf).any():
                 leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
             keep = alive & ~lf
             if keep.any():
-                frontier.push(child[keep], lb_c[keep], ub_c[keep])
+                push_classified(child[keep], lb_c[keep], ub_c[keep])
 
             if best_sse <= self.sse_thresh:
                 converged = True
@@ -559,11 +788,12 @@ class GoIcpSolverSE3(GoIcpSolver):
                 save_checkpoint()
             if rounds % 10 == 0:
                 self.log.info(
-                    "round %d: best=%.5g frontier=%d min_lb=%.4g leaf_lb=%.4g",
+                    "round %d: best=%.5g frontier=%d+%d min_lb=%.4g leaf_lb=%.4g",
                     rounds,
                     best_sse,
-                    len(frontier),
-                    frontier.min_lb(),
+                    len(fR),
+                    len(fT),
+                    frontier_min_lb(),
                     leaf_lb,
                 )
             self.progress.publish(
@@ -573,7 +803,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                     cur_R=R_c[0],
                     cur_t=child[0, 4:7],
                     best_sse=best_sse,
-                    gap=best_sse - min(frontier.min_lb(), leaf_lb),
+                    gap=best_sse - min(frontier_min_lb(), leaf_lb),
                     finished=False,
                     rot_nodes=int(m.counters.get("se3_nodes", 0)),
                     trans_nodes=int(m.counters.get("se3_nodes", 0)),
@@ -599,11 +829,12 @@ class GoIcpSolverSE3(GoIcpSolver):
                         "wall budget %.0fs exceeded at round %d (gap %.4g)",
                         p.max_wall_s,
                         rounds,
-                        best_sse - min(frontier.min_lb(), leaf_lb),
+                        best_sse - min(frontier_min_lb(), leaf_lb),
                     )
+                n_pending = len(fR) + len(fT)
                 can_dispatch = (
                     rounds < p.max_rounds
-                    and len(frontier)
+                    and n_pending
                     and not converged
                     and not budget_exceeded
                 )
@@ -611,41 +842,47 @@ class GoIcpSolverSE3(GoIcpSolver):
                     # gap test only in a settled state: with rounds in
                     # flight the frontier is partially drained and min_lb
                     # would spuriously read high
-                    gap_lb = min(frontier.min_lb(), leaf_lb)
+                    gap_lb = min(frontier_min_lb(), leaf_lb)
                     if best_sse - gap_lb <= self.sse_thresh:
                         converged = True
                         can_dispatch = False
                 if can_dispatch and len(inflight) < depth:
                     rounds += 1
-                    work = dispatch()
+                    # best-first across both frontiers: pop the one whose
+                    # best node is more promising (homogeneous round each way)
+                    work = (
+                        dispatch_T()
+                        if len(fT) and fT.min_lb() <= fR.min_lb()
+                        else dispatch_R()
+                    )
                     if work is not None:
                         inflight.append(work)
                     continue
                 if inflight:
                     absorb(inflight.popleft())
                     continue
-                gap_lb = min(frontier.min_lb(), leaf_lb)
+                gap_lb = min(frontier_min_lb(), leaf_lb)
                 if (
                     converged
                     or best_sse - gap_lb <= self.sse_thresh
-                    or not len(frontier)
+                    or not (len(fR) + len(fT))
                     or rounds >= p.max_rounds
                     or budget_exceeded
                 ):
                     if (
                         best_sse - gap_lb <= self.sse_thresh
-                        or not len(frontier)
+                        or not (len(fR) + len(fT))
                     ):
                         converged = True
                     break
 
-        if not len(frontier) and not converged:
+        if not (len(fR) + len(fT)) and not converged:
             converged = True
 
         # full-resolution polish + consistent re-score (solver._full_polish)
         best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
 
-        gap = best_sse - min(frontier.min_lb(), leaf_lb)
+        gap = best_sse - min(frontier_min_lb(), leaf_lb)
         wall = time.perf_counter() - t_start
         nodes = int(m.counters.get("se3_nodes", 0))
         result = GoIcpResult(

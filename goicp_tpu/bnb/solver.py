@@ -280,6 +280,10 @@ class BnbParams:
                                      # point-node pair budget
     pipeline_depth: int = 3          # fused rounds in flight (stale-incumbent
                                      # tolerance buys latency hiding)
+    split_beta: float = 1.0          # split-rule bias: r-split only when
+                                     # rot radius >= beta * trans radius;
+                                     # >1 favors t-splits (grouped kernel
+                                     # evaluates them ~3x cheaper per node)
     checkpoint_path: Optional[str] = None   # frontier+incumbent snapshots;
                                      # restart-based recovery (SURVEY §5:
                                      # the reference has none)

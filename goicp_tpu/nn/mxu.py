@@ -152,6 +152,102 @@ def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
     return out[0].reshape(B, Np), None
 
 
+def _min_d2_grouped_kernel(params_ref, src_ref, wm_ref, d2_ref, *,
+                           n_chunks: int):
+    """One (group g, query-block n) program for 8 translation siblings that
+    share one rotation (an octant t-split's children, ``bnb.se3``).
+
+    Separability does the work: with ``u = R·p`` (no translation) and base
+    plane ``G[i,m] = |u_i − m|²``,
+
+        |u_i + t_j − m|² = G[i,m] + 2·t_j·u_i + (|t_j|² − 2·t_j·m)
+                         = G[i,m] + a_j[i] + b_j[m]
+
+    so the 9-op/pair plane ``G`` is computed ONCE per group and each sibling
+    costs ~2 VPU ops/pair (broadcast add + running min); `a_j` commutes with
+    the min over ``m`` and is added after the loop.  ~3 ops/pair amortized
+    vs 9 for the singleton diff kernel — the TPU form of the stream-pool's
+    per-tnode reuse of a fixed rotation (``registration.cu:88-151``).
+    """
+    g = pl.program_id(0)
+    px = src_ref[0:1, :]
+    py = src_ref[1:2, :]
+    pz = src_ref[2:3, :]                                  # [1, TQ]
+    ux = px * params_ref[g, 0] + py * params_ref[g, 1] + pz * params_ref[g, 2]
+    uy = px * params_ref[g, 3] + py * params_ref[g, 4] + pz * params_ref[g, 5]
+    uz = px * params_ref[g, 6] + py * params_ref[g, 7] + pz * params_ref[g, 8]
+
+    def body(c, best):
+        w = wm_ref[pl.dslice(c * TM, TM), :]              # [TM, 8]
+        wx = w[:, 0:1]
+        wy = w[:, 1:2]
+        wz = w[:, 2:3]
+        dx = wx - ux                                      # [TM, TQ]
+        dy = wy - uy
+        dz = wz - uz
+        Gp = dx * dx + dy * dy + dz * dz                  # base plane, once
+        rows = []
+        for j in range(8):
+            tx = params_ref[g, 9 + 3 * j]
+            ty = params_ref[g, 10 + 3 * j]
+            tz = params_ref[g, 11 + 3 * j]
+            bj = params_ref[g, 33 + j] - 2.0 * (tx * wx + ty * wy + tz * wz)
+            rows.append(jnp.min(Gp + bj, axis=0, keepdims=True))   # [1, TQ]
+        return jnp.minimum(best, jnp.concatenate(rows, axis=0))    # [8, TQ]
+
+    best = jnp.full((8, ux.shape[1]), jnp.inf, jnp.float32)
+    best = jax.lax.fori_loop(0, n_chunks, body, best)
+    arows = []
+    for j in range(8):
+        tx = params_ref[g, 9 + 3 * j]
+        ty = params_ref[g, 10 + 3 * j]
+        tz = params_ref[g, 11 + 3 * j]
+        arows.append(2.0 * (tx * ux + ty * uy + tz * uz))
+    d2_ref[0, :, :] = jnp.maximum(best + jnp.concatenate(arows, axis=0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _min_d2_grouped_padded(gparams, srcT, wm, *, interpret: bool):
+    """``gparams [G,48]`` (R×9, 8×t×3, 8×|t|², pad), ``srcT [8, Np]``,
+    ``wm [Mp, 8]`` → ``d2 [8·G, Np]`` in (group-major, sibling) node order."""
+    G = gparams.shape[0]
+    Np, Mp = srcT.shape[1], wm.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_min_d2_grouped_kernel, n_chunks=Mp // TM),
+        grid=(G, Np // TQ),
+        in_specs=[
+            pl.BlockSpec((G, 48), lambda g, n: (0, 0)),
+            pl.BlockSpec((8, TQ), lambda g, n: (0, n)),
+            pl.BlockSpec((Mp, 8), lambda g, n: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 8, TQ), lambda g, n: (g, 0, n))],
+        out_shape=[jax.ShapeDtypeStruct((G, 8, Np), jnp.float32)],
+        interpret=interpret,
+    )(gparams, srcT, wm)
+    return out[0].reshape(8 * G, Np)
+
+
+def pack_group_params(R, t8) -> jnp.ndarray:
+    """``R [G,3,3], t8 [G,8,3] → [G,48]`` grouped-transform rows."""
+    R = jnp.asarray(R, jnp.float32)
+    t8 = jnp.asarray(t8, jnp.float32)
+    G = R.shape[0]
+    tn = jnp.sum(t8 * t8, axis=-1)                        # [G, 8]
+    return jnp.concatenate(
+        [R.reshape(G, 9), t8.reshape(G, 24), tn,
+         jnp.zeros((G, 7), jnp.float32)],
+        axis=1,
+    )
+
+
+def min_d2_groups(srcT, wm, gparams, *, interpret=None):
+    """Exact min squared distances for 8-sibling translation groups:
+    ``d2 [8·G, Np]``, row ``8g+j`` = node (R_g, t_{g,j})."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _min_d2_grouped_padded(gparams, srcT, wm, interpret=interpret)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
