@@ -155,6 +155,18 @@ def run_scenario(
     tgt = load_cloud(cfg.resolve(cfg.io.target), cfg.subsample, cfg.resize, seed)
     bus = ProgressBus()
     rec = TrajectoryRecorder(bus)
+    outdir = output_dir or os.getcwd()
+    if cfg.tpu.snapshot_every_s > 0:
+        from goicp_tpu.viz import LiveSnapshotter
+
+        LiveSnapshotter(
+            bus,
+            os.path.join(outdir, "snapshots"),
+            tgt,
+            src,
+            every_s=cfg.tpu.snapshot_every_s,
+            png=cfg.tpu.snapshot_png,
+        )
 
     t0 = time.perf_counter()
     if cfg.mode in (Mode.ICP_CPU, Mode.ICP_GPU, Mode.ICP_KDTREE_GPU):
@@ -165,7 +177,6 @@ def run_scenario(
     out["scenario"] = os.path.basename(toml_path)
     out["n_src"], out["n_tgt"] = src.shape[0], tgt.shape[0]
 
-    outdir = output_dir or os.getcwd()
     os.makedirs(outdir, exist_ok=True)
     result_path = os.path.join(outdir, os.path.basename(cfg.io.output) or "output.toml")
     viz_path = os.path.join(

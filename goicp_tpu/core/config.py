@@ -105,6 +105,10 @@ class TpuConfig:
     mesh_cubes: int = 0             # device-mesh extent over the cube axis
                                     # (0 = all visible devices; 1 = single-chip)
     icp_refine_factor: float = 2.0  # run ICP when ub < factor*best (ref fgoicp.cpp:75)
+    snapshot_every_s: float = 0.0   # live PLY snapshots while solving, at most
+                                    # one per this many seconds (0 = off) — the
+                                    # headless render loop (goicp_kernel.cu:152-206)
+    snapshot_png: bool = False      # also render a PNG per snapshot
 
 
 @dataclasses.dataclass

@@ -101,6 +101,70 @@ def render_png(
     plt.close(fig)
 
 
+class LiveSnapshotter:
+    """Periodic registration snapshots while the solver runs — the headless
+    form of the reference's live render loop, which draws the incumbent
+    (red) and currently-explored (white) poses every frame
+    (``goicp_kernel.cu:152-206``, ``kernel.cu:114-118``).
+
+    Subscribes to the :class:`ProgressBus`; at most one snapshot per
+    ``every_s`` seconds of wall time (the render thread's poll cadence,
+    decoupled from round rate) it writes ``snap_rNNNNN.ply`` — model blue,
+    incumbent red, current white — into ``directory``, plus an optional PNG.
+    Writing happens on the host between rounds; the device pipeline never
+    blocks on it.
+    """
+
+    def __init__(
+        self,
+        bus: ProgressBus,
+        directory: str,
+        target: np.ndarray,
+        source: np.ndarray,
+        every_s: float = 2.0,
+        png: bool = False,
+        max_snapshots: int = 200,
+    ):
+        import os
+        import time
+
+        self._os, self._time = os, time
+        self.dir = directory
+        self.target = np.asarray(target, np.float32)
+        self.source = np.asarray(source, np.float32)
+        self.every_s = every_s
+        self.png = png
+        self.max_snapshots = max_snapshots
+        self.paths: list[str] = []
+        self._last = 0.0   # first publish always fires
+        bus.subscribe(self._on_state)
+
+    def _on_state(self, s: SolverState):
+        now = self._time.perf_counter()
+        if (
+            (now - self._last < self.every_s and not s.finished)
+            or len(self.paths) >= self.max_snapshots
+        ):
+            return
+        self._last = now
+        self._os.makedirs(self.dir, exist_ok=True)
+        path = self._os.path.join(self.dir, f"snap_r{s.round:05d}.ply")
+        write_registration_ply(
+            path, self.target, self.source, s.opt_R, s.opt_t,
+            cur_R=None if s.finished else s.cur_R,
+            cur_t=None if s.finished else s.cur_t,
+        )
+        self.paths.append(path)
+        if self.png:
+            try:
+                render_png(
+                    self._os.path.splitext(path)[0] + ".png",
+                    self.target, self.source, s.opt_R, s.opt_t,
+                )
+            except Exception:   # matplotlib optional
+                pass
+
+
 class TrajectoryRecorder:
     """Subscribes to solver progress; keeps the pose/error trajectory
     (the headless counterpart of watching the white cloud converge)."""

@@ -1,0 +1,69 @@
+"""LiveSnapshotter: periodic registration snapshots from solver progress.
+
+The headless counterpart of the reference's live render loop, which redraws
+the incumbent (red) and currently-explored (white) poses every frame
+(``goicp_kernel.cu:152-206``, ``kernel.cu:114-118``).
+"""
+
+import glob
+import os
+
+import numpy as np
+
+from goicp_tpu.core.progress import ProgressBus, SolverState
+from goicp_tpu.io.ply import read_ply
+from goicp_tpu.viz import LiveSnapshotter
+
+
+def _state(rnd, finished=False):
+    return SolverState(
+        opt_R=np.eye(3, dtype=np.float32),
+        opt_t=np.zeros(3, np.float32),
+        cur_R=np.eye(3, dtype=np.float32),
+        cur_t=np.full(3, 0.1, np.float32),
+        best_sse=1.0,
+        gap=0.5,
+        finished=finished,
+        rot_nodes=rnd,
+        trans_nodes=rnd,
+        round=rnd,
+    )
+
+
+def test_live_snapshotter_writes_readable_plys(tmp_path):
+    tgt = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    src = np.random.default_rng(1).normal(size=(40, 3)).astype(np.float32)
+    bus = ProgressBus()
+    snap = LiveSnapshotter(bus, str(tmp_path / "snaps"), tgt, src, every_s=0.0)
+
+    for r in range(3):
+        bus.publish(_state(r))
+    bus.publish(_state(3, finished=True))
+
+    paths = sorted(glob.glob(str(tmp_path / "snaps" / "snap_r*.ply")))
+    assert len(paths) == 4
+    assert snap.paths == paths
+
+    # in-progress snapshot: model + incumbent + current (white) clouds
+    rows = read_ply(paths[0], properties=("x", "y", "z", "red", "green", "blue"))
+    assert rows.shape[0] == 50 + 40 + 40
+    assert (rows[-1, 3:] == 240).all()
+
+    # final snapshot drops the in-progress cloud (ref: white cloud stops
+    # once goicp_finished flips, goicp_kernel.cu:189-199)
+    rows = read_ply(paths[-1])
+    assert rows.shape[0] == 50 + 40
+
+
+def test_live_snapshotter_throttles(tmp_path):
+    tgt = np.zeros((5, 3), np.float32)
+    src = np.zeros((4, 3), np.float32)
+    bus = ProgressBus()
+    LiveSnapshotter(bus, str(tmp_path / "s"), tgt, src, every_s=3600.0)
+    for r in range(10):
+        bus.publish(_state(r))
+    # first publish fires (initial _last=0), the rest are throttled
+    assert len(os.listdir(tmp_path / "s")) == 1
+    # ...but the terminal state always writes
+    bus.publish(_state(10, finished=True))
+    assert len(os.listdir(tmp_path / "s")) == 2
