@@ -466,7 +466,7 @@ class GoIcpSolverSE3(GoIcpSolver):
             from goicp_tpu.dist.sharding import make_mesh
 
             mesh = make_mesh(n_c, n_p)
-            quantum = 1024 if self._backend == "mxu" else p.point_tile
+            quantum = 128 if self._backend == "mxu" else p.point_tile
             src_pad, norms_pad = pad_points(
                 self.src, np.asarray(self.ev.norms), n_p, quantum
             )
@@ -554,6 +554,12 @@ class GoIcpSolverSE3(GoIcpSolver):
             B = pay.shape[0]
             m.count("pops_trans", B)
             m.count("se3_nodes", 8 * B)
+            # plane-merge potential: parents sharing a rotation payload could
+            # share one grouped base plane (diagnostic for kernel batching)
+            m.count(
+                "uniq_rot_in_tpops",
+                int(np.unique(pay[:, 0:4], axis=0).shape[0]),
+            )
 
             half_t = pay[:, 7] / 2.0                    # [B]
             t8 = pay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]

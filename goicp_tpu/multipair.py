@@ -84,11 +84,256 @@ def _icp_pairs_jit(srcs, tgts, w, T0, params: IcpParams):
 def register_pairs(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     params: BnbParams = BnbParams(),
+    batched: bool = True,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair.
 
-    Same-shaped pairs reuse the same compiled device programs (all solver
-    steps are module-level jits keyed by shape); on a multi-host deployment
-    each host takes ``pairs[host_id::n_hosts]``.
+    ``batched=True`` (default) runs every pair's BnB in LOCKSTEP: one fused
+    device dispatch per round advances all pairs at once (``_pairs_round`` —
+    a ``vmap`` over the pair axis of the bound evaluation + batched ICP
+    refinement).  This is the pod-scale serving shape: P pairs × M nodes ×
+    N points per dispatch, with the pair axis equally shardable over a
+    device mesh.  Falls back to the serial per-pair loop for configurations
+    the lockstep driver does not cover (trimming, quaternion cubes, grid
+    bounds for huge targets).
     """
+    p = params
+    lockstep_ok = (
+        batched
+        and len(pairs) >= 2
+        and p.trim_fraction == 0.0
+        and p.rotation_param == "axis_angle"
+        and max(t.shape[0] for _, t in pairs) <= p.mxu_max
+        and max(s.shape[0] for s, _ in pairs) <= p.bound_points
+    )
+    if lockstep_ok:
+        return _register_pairs_lockstep(pairs, p)
     return [make_solver(s, t, params).run() for s, t in pairs]
+
+
+# ---------------------------------------------------------------------------
+# lockstep Go-ICP: all pairs advance through one dispatch per BnB round
+# ---------------------------------------------------------------------------
+
+_SQRT3 = float(np.sqrt(3.0))
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask):
+    """(ub, lb) for ``M`` SE(3) nodes of ONE pair, exact brute-force NN with
+    per-point weights (0 = padding).  Per-pair body of the ``vmap`` in
+    :func:`_pairs_round`; the bound math matches ``bnb.se3`` (Yang et al.
+    eq. 10 ≙ ``kernComputeBounds``, ``registration.cu:27-60``)."""
+    from goicp_tpu.bnb.device_inner import _exact_min_d2
+    from goicp_tpu.geo.rotation import rotation_displacement
+
+    tile = 256
+    nt = tgt.shape[0]
+    padt = (-nt) % tile
+    if padt:
+        tgt = jnp.concatenate([tgt, jnp.full((padt, 3), 1e15, tgt.dtype)])
+    tgt_tiles = tgt.reshape(-1, tile, 3)
+    tgt_norm_tiles = jnp.sum(tgt_tiles * tgt_tiles, axis=-1)
+
+    pts = (
+        jnp.einsum("mij,nj->mni", R, src, precision=_PREC) + t_c[:, None, :]
+    )                                                       # [M,N,3]
+    d = jnp.sqrt(jnp.maximum(_exact_min_d2(pts, tgt_tiles, tgt_norm_tiles), 0.0))
+    gamma_r = rotation_displacement(ang, norms)             # [M,N]
+    gamma_t = (_SQRT3 * t_s)[:, None]
+    ub = jnp.sum((d + slack) ** 2 * w[None, :], axis=-1)
+    lb = jnp.sum(
+        jnp.maximum(jnp.maximum(d - slack, 0.0) - gamma_r - gamma_t, 0.0) ** 2
+        * w[None, :],
+        axis=-1,
+    )
+    inf = jnp.float32(np.inf)
+    return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
+
+
+@functools.partial(jax.jit, static_argnames=("refine_k", "icp_params"))
+def _pairs_round(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, *,
+                 refine_k: int, icp_params):
+    """ONE device dispatch advancing every pair: bound evaluation for all
+    ``[P, M]`` jobs + top-k batched ICP refinement per pair (the lockstep
+    form of ``bnb.se3.se3_round``)."""
+    from goicp_tpu.icp import run_icp
+    from goicp_tpu.nn.brute import nearest_neighbor
+
+    ub, lb = jax.vmap(
+        _bounds_one_pair, in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0)
+    )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask)
+
+    def refine_one(src, w, tgt, ub_p, R_p, t_p):
+        _, top = jax.lax.top_k(-ub_p, refine_k)
+        R0 = jnp.take(R_p, top, axis=0)
+        t0 = jnp.take(t_p, top, axis=0)
+
+        def corr(pts):
+            d2, idx = nearest_neighbor(pts, tgt)
+            return jnp.take(tgt, idx, axis=0), d2
+
+        res = run_icp(
+            src, corr, RigidTransform(R0, t0), icp_params, point_weights=w
+        )
+        return res.transform.R, res.transform.t, res.sse, res.iters
+
+    R_ref, t_ref, sse_ref, it_ref = jax.vmap(refine_one)(
+        srcs, wts, tgts, ub, R, t_c
+    )
+    return ub, lb, R_ref, t_ref, sse_ref, it_ref
+
+
+def _register_pairs_lockstep(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], p: BnbParams
+) -> List[GoIcpResult]:
+    import time
+
+    from goicp_tpu.bnb.frontier import make_frontier
+    from goicp_tpu.bnb.solver import _OCTANTS, AxisAngleParam
+
+    t_start = time.perf_counter()
+    P = len(pairs)
+    N = max(s.shape[0] for s, _ in pairs)
+    Nt = max(t.shape[0] for _, t in pairs)
+    srcs = np.zeros((P, N, 3), np.float32)
+    wts = np.zeros((P, N), np.float32)
+    tgts = np.full((P, Nt, 3), 1e15, np.float32)
+    for b, (s, t) in enumerate(pairs):
+        srcs[b, : s.shape[0]] = s
+        wts[b, : s.shape[0]] = 1.0
+        tgts[b, : t.shape[0]] = t
+    norms = np.linalg.norm(srcs, axis=-1).astype(np.float32)
+    h = np.array([s.shape[0] for s, _ in pairs], np.float64)
+    sse_thresh = p.mse_threshold * h
+
+    # batched initial ICP (≙ fgoicp.cpp:11-12, every pair in one dispatch)
+    icp_params = IcpParams(
+        max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol, trim_fraction=0.0
+    )
+    T0, sse0, _ = icp_pairs(pairs, params=icp_params)
+    best_R = np.array(T0.R)
+    best_t = np.array(T0.t)
+    best_sse = np.asarray(sse0, np.float64).copy()
+
+    rotparam = AxisAngleParam
+    root_rspan = rotparam.root_span
+    mean_norm = np.array(
+        [np.linalg.norm(s, axis=1).mean() for s, _ in pairs]
+    )
+
+    def classify(b, pay):
+        r_s, t_s = pay[:, 3], pay[:, 7]
+        g_rot = 2.0 * np.sin(np.minimum(_SQRT3 * r_s, np.pi) / 2.0) * mean_norm[b]
+        g_tr = _SQRT3 * t_s
+        return g_rot >= g_tr                      # split rotation else trans
+
+    fronts = [make_frontier(8) for _ in range(P)]
+    for b in range(P):
+        root = np.array(
+            [0.0, 0.0, 0.0, root_rspan, *p.trans_center, p.trans_span],
+            np.float32,
+        )
+        fronts[b].push(
+            root[None], np.zeros(1, np.float32), np.full(1, np.inf, np.float32)
+        )
+
+    pop_k = max(32, min(512, p.se3_pop or 512))
+    M_cap = 8 * pop_k
+    converged = best_sse <= sse_thresh
+    rounds = 0
+    nodes = 0
+    srcs_d, wts_d, norms_d, tgts_d = map(
+        jnp.asarray, (srcs, wts, norms, tgts)
+    )
+
+    while True:
+        active = [
+            b
+            for b in range(P)
+            if not converged[b] and len(fronts[b]) and rounds < p.max_rounds
+        ]
+        if not active or time.perf_counter() - t_start > p.max_wall_s:
+            break
+        rounds += 1
+
+        R_all = np.tile(np.eye(3, dtype=np.float32), (P, M_cap, 1, 1))
+        ang_all = np.zeros((P, M_cap), np.float32)
+        t_all = np.zeros((P, M_cap, 3), np.float32)
+        ts_all = np.zeros((P, M_cap), np.float32)
+        mask_all = np.zeros((P, M_cap), bool)
+        childs: dict[int, np.ndarray] = {}
+        for b in active:
+            pay, _, _ = fronts[b].pop_best(pop_k)
+            B = pay.shape[0]
+            split_rot = classify(b, pay)
+            child = np.repeat(pay, 8, axis=0)
+            oct8 = np.tile(_OCTANTS, (B, 1))
+            sr = np.repeat(split_rot, 8)
+            half_r = np.repeat(pay[:, 3], 8) / 2.0
+            half_t = np.repeat(pay[:, 7], 8) / 2.0
+            child[sr, 0:3] += oct8[sr] * half_r[sr, None]
+            child[sr, 3] = half_r[sr]
+            child[~sr, 4:7] += oct8[~sr] * half_t[~sr, None]
+            child[~sr, 7] = half_t[~sr]
+            keep = rotparam.valid(child[:, 0:3], child[:, 3])
+            child = child[keep]
+            C = child.shape[0]
+            nodes += C
+            childs[b] = child
+            R_all[b, :C] = rotparam.rotation(child[:, 0:3])
+            ang_all[b, :C] = rotparam.max_angle(child[:, 0:3], child[:, 3])
+            t_all[b, :C] = child[:, 4:7]
+            ts_all[b, :C] = child[:, 7]
+            mask_all[b, :C] = True
+
+        out = _pairs_round(
+            srcs_d, wts_d, norms_d, tgts_d, jnp.float32(0.0),
+            jnp.asarray(R_all), jnp.asarray(ang_all), jnp.asarray(t_all),
+            jnp.asarray(ts_all), jnp.asarray(mask_all),
+            refine_k=p.refine_top_k, icp_params=icp_params,
+        )
+        ub, lb, R_ref, t_ref, sse_ref, _ = map(np.asarray, jax.device_get(out))
+
+        for b in active:
+            child = childs[b]
+            C = child.shape[0]
+            j = int(np.argmin(sse_ref[b]))
+            if float(sse_ref[b, j]) < best_sse[b]:
+                best_sse[b] = float(sse_ref[b, j])
+                best_R[b], best_t[b] = R_ref[b, j], t_ref[b, j]
+                fronts[b].prune(best_sse[b] - sse_thresh[b])
+            jj = int(np.argmin(ub[b, :C]))
+            if float(ub[b, jj]) < best_sse[b]:
+                best_sse[b] = float(ub[b, jj])
+                best_R[b] = R_all[b, jj]
+                best_t[b] = child[jj, 4:7]
+                fronts[b].prune(best_sse[b] - sse_thresh[b])
+            alive = lb[b, :C] < best_sse[b] - sse_thresh[b]
+            if alive.any():
+                fronts[b].push(child[alive], lb[b, :C][alive], ub[b, :C][alive])
+            gap_lb = fronts[b].min_lb() if len(fronts[b]) else np.inf
+            if best_sse[b] <= sse_thresh[b] or best_sse[b] - gap_lb <= sse_thresh[b]:
+                converged[b] = True
+
+    wall = time.perf_counter() - t_start
+    results = []
+    for b in range(P):
+        done = bool(converged[b]) or not len(fronts[b])
+        gap = best_sse[b] - (fronts[b].min_lb() if len(fronts[b]) else best_sse[b])
+        results.append(
+            GoIcpResult(
+                transform=RigidTransform(best_R[b], best_t[b]),
+                sse=float(best_sse[b]),
+                mse=float(best_sse[b] / h[b]),
+                converged=done,
+                gap=float(max(gap, 0.0)),
+                rot_nodes=nodes,
+                trans_nodes=nodes,
+                icp_iters=0,
+                rounds=rounds,
+                wall_s=wall,
+                metrics=None,
+            )
+        )
+    return results

@@ -41,8 +41,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _PAD_TGT = 1e15     # padded targets: |m|² sentinel keeps them off every min
-TQ = 1024           # query columns per program (lane multiples of 128)
-TM = 512            # target rows reduced per inner step (sublane multiples)
+TQ = 2048           # max query columns per program (lane multiples of 128);
+                    # one whole-cloud block per program measured fastest
+                    # (388 G pairs/s at 1536 columns vs 338 G tiled, v5e)
+TM = 512            # max target rows reduced per inner step (sublane multiples)
+
+
+def _pick_tile(n: int, cap: int, quantum: int = 128) -> int:
+    """Largest divisor of ``n`` that is a multiple of ``quantum`` and ≤ cap.
+
+    Clouds pad to the 128-lane quantum only (``pack_sources``/``pack_targets``);
+    the kernels then tile with whatever divides the padded size — bunny@0.05
+    (N=1518 → 1536, Nt=1797 → 1920) runs at 1536×1920 instead of the fixed
+    2048×2048 tiles' 42% padded-pair waste (measured round 2)."""
+    best = quantum
+    t = quantum
+    while t <= cap:
+        if n % t == 0:
+            best = t
+        t += quantum
+    return best
 
 # MXU precision: HIGH = bf16x3 ≈ f32-accurate for O(1) coordinates at ~2×
 # the speed of HIGHEST's bf16x6 emulation; DEFAULT (1-pass bf16) loses ~1e-2
@@ -52,7 +70,7 @@ _PREC = jax.lax.Precision.HIGHEST
 
 def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
                    n_chunks: int, want_idx: bool, precision,
-                   variant: str = "dot"):
+                   variant: str = "dot", tm: int = TM):
     """One (node b, query-block n) program: transform, min over all targets.
 
     ``variant``: "dot" rides the MXU via the augmented |q−m|² contraction
@@ -73,18 +91,31 @@ def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
     qn = qx * qx + qy * qy + qz * qz
     one = jnp.ones_like(qx)
     zero = jnp.zeros_like(qx)
-    qp = jnp.concatenate(
-        [-2.0 * qx, -2.0 * qy, -2.0 * qz, qn, one, zero, zero, zero], axis=0
-    )                                                     # [8, TQ]
+    if variant == "dot":
+        qp = jnp.concatenate(
+            [-2.0 * qx, -2.0 * qy, -2.0 * qz, qn, one, zero, zero, zero],
+            axis=0,
+        )                                                  # [8, TQ]
+    elif variant == "exp":
+        nqx = -2.0 * qx                                    # hoisted FMA factors
+        nqy = -2.0 * qy
+        nqz = -2.0 * qz
 
     def body(c, carry):
         best, bidx = carry
-        w = wm_ref[pl.dslice(c * TM, TM), :]              # [TM, 8]
+        w = wm_ref[pl.dslice(c * tm, tm), :]              # [tm, 8]
         if variant == "diff":
             dx = w[:, 0:1] - qx                            # [TM, TQ]
             dy = w[:, 1:2] - qy
             dz = w[:, 2:3] - qz
             d2 = dx * dx + dy * dy + dz * dz
+        elif variant == "exp":
+            # |q−m|² − |q|² = |m|² − 2q·m: 3 FMA/pair (|q|² rejoins after
+            # the min — it commutes; f32 cancellation is covered by the
+            # caller's exact_slack in certified mode)
+            d2 = w[:, 4:5] + nqx * w[:, 0:1]
+            d2 = d2 + nqy * w[:, 1:2]
+            d2 = d2 + nqz * w[:, 2:3]
         else:
             d2 = jax.lax.dot_general(
                 w, qp, (((1,), (0,)), ((), ())),
@@ -95,13 +126,15 @@ def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
         take = cmin < best
         best = jnp.where(take, cmin, best)
         if want_idx:
-            carg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :] + c * TM
+            carg = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :] + c * tm
             bidx = jnp.where(take, carg, bidx)
         return best, bidx
 
-    best = jnp.full((1, qp.shape[1]), jnp.inf, jnp.float32)
-    bidx = jnp.zeros((1, qp.shape[1]), jnp.int32)
+    best = jnp.full((1, qx.shape[1]), jnp.inf, jnp.float32)
+    bidx = jnp.zeros((1, qx.shape[1]), jnp.int32)
     best, bidx = jax.lax.fori_loop(0, n_chunks, body, (best, bidx))
+    if variant == "exp":
+        best = best + qn
     d2_ref[0, :, :] = jnp.maximum(best, 0.0)
     if want_idx:
         idx_ref[0, :, :] = bidx
@@ -113,24 +146,27 @@ def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
 )
 def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
                    precision=_PREC, variant: str = "dot"):
-    """``params [B,16]``, ``srcT [8, Np]`` (Np % TQ == 0), ``wm [Mp, 8]``
-    (Mp % TM == 0) → ``(d2 [B, Np], idx [B, Np] int32)``."""
+    """``params [B,16]``, ``srcT [8, Np]``, ``wm [Mp, 8]`` (both 128-padded)
+    → ``(d2 [B, Np], idx [B, Np] int32)``."""
     B = params.shape[0]
     Np, Mp = srcT.shape[1], wm.shape[0]
-    grid = (B, Np // TQ)
+    tq = _pick_tile(Np, TQ)
+    tm = _pick_tile(Mp, TM)
+    grid = (B, Np // tq)
     kernel = functools.partial(
         _min_d2_kernel,
-        n_chunks=Mp // TM,
+        n_chunks=Mp // tm,
         want_idx=want_idx,
         precision=precision,
         variant=variant,
+        tm=tm,
     )
-    # outputs are [B, 1, Np]: a (1, 1, TQ) block keeps the last-two dims
-    # legal for Mosaic ((1, TQ) with the middle dim equal to the array's)
-    out_specs = [pl.BlockSpec((1, 1, TQ), lambda b, n: (b, 0, n))]
+    # outputs are [B, 1, Np]: a (1, 1, tq) block keeps the last-two dims
+    # legal for Mosaic ((1, tq) with the middle dim equal to the array's)
+    out_specs = [pl.BlockSpec((1, 1, tq), lambda b, n: (b, 0, n))]
     out_shape = [jax.ShapeDtypeStruct((B, 1, Np), jnp.float32)]
     if want_idx:
-        out_specs.append(pl.BlockSpec((1, 1, TQ), lambda b, n: (b, 0, n)))
+        out_specs.append(pl.BlockSpec((1, 1, tq), lambda b, n: (b, 0, n)))
         out_shape.append(jax.ShapeDtypeStruct((B, 1, Np), jnp.int32))
     out = pl.pallas_call(
         kernel,
@@ -140,7 +176,7 @@ def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
             # SMEM rejects sub-(8,128) blocks, and a [B,16] f32 table can
             # exceed SMEM anyway at production batch sizes
             pl.BlockSpec((B, 16), lambda b, n: (0, 0)),
-            pl.BlockSpec((8, TQ), lambda b, n: (0, n)),
+            pl.BlockSpec((8, tq), lambda b, n: (0, n)),
             pl.BlockSpec((Mp, 8), lambda b, n: (0, 0)),
         ],
         out_specs=out_specs,
@@ -153,7 +189,8 @@ def _min_d2_padded(params, srcT, wm, *, want_idx: bool, interpret: bool,
 
 
 def _min_d2_grouped_kernel(params_ref, src_ref, wm_ref, d2_ref, *,
-                           n_chunks: int):
+                           n_chunks: int, tm: int = TM,
+                           variant: str = "diff"):
     """One (group g, query-block n) program for 8 translation siblings that
     share one rotation (an octant t-split's children, ``bnb.se3``).
 
@@ -176,16 +213,28 @@ def _min_d2_grouped_kernel(params_ref, src_ref, wm_ref, d2_ref, *,
     ux = px * params_ref[g, 0] + py * params_ref[g, 1] + pz * params_ref[g, 2]
     uy = px * params_ref[g, 3] + py * params_ref[g, 4] + pz * params_ref[g, 5]
     uz = px * params_ref[g, 6] + py * params_ref[g, 7] + pz * params_ref[g, 8]
+    if variant == "exp":
+        nux = -2.0 * ux                                    # hoisted FMA factors
+        nuy = -2.0 * uy
+        nuz = -2.0 * uz
+        un = ux * ux + uy * uy + uz * uz
 
     def body(c, best):
-        w = wm_ref[pl.dslice(c * TM, TM), :]              # [TM, 8]
+        w = wm_ref[pl.dslice(c * tm, tm), :]              # [tm, 8]
         wx = w[:, 0:1]
         wy = w[:, 1:2]
         wz = w[:, 2:3]
-        dx = wx - ux                                      # [TM, TQ]
-        dy = wy - uy
-        dz = wz - uz
-        Gp = dx * dx + dy * dy + dz * dz                  # base plane, once
+        if variant == "exp":
+            # base plane shifted by |u|²: |m|² − 2u·m, 3 FMA/pair (|u|²
+            # rejoins in the epilogue — it commutes with min over m)
+            Gp = w[:, 4:5] + nux * wx
+            Gp = Gp + nuy * wy
+            Gp = Gp + nuz * wz
+        else:
+            dx = wx - ux                                  # [TM, TQ]
+            dy = wy - uy
+            dz = wz - uz
+            Gp = dx * dx + dy * dy + dz * dz              # base plane, once
         rows = []
         for j in range(8):
             tx = params_ref[g, 9 + 3 * j]
@@ -202,25 +251,31 @@ def _min_d2_grouped_kernel(params_ref, src_ref, wm_ref, d2_ref, *,
         tx = params_ref[g, 9 + 3 * j]
         ty = params_ref[g, 10 + 3 * j]
         tz = params_ref[g, 11 + 3 * j]
-        arows.append(2.0 * (tx * ux + ty * uy + tz * uz))
+        aj = 2.0 * (tx * ux + ty * uy + tz * uz)
+        arows.append(aj + un if variant == "exp" else aj)
     d2_ref[0, :, :] = jnp.maximum(best + jnp.concatenate(arows, axis=0), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _min_d2_grouped_padded(gparams, srcT, wm, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+def _min_d2_grouped_padded(gparams, srcT, wm, *, interpret: bool,
+                           variant: str = "diff"):
     """``gparams [G,48]`` (R×9, 8×t×3, 8×|t|², pad), ``srcT [8, Np]``,
     ``wm [Mp, 8]`` → ``d2 [8·G, Np]`` in (group-major, sibling) node order."""
     G = gparams.shape[0]
     Np, Mp = srcT.shape[1], wm.shape[0]
+    tq = _pick_tile(Np, TQ)
+    tm = _pick_tile(Mp, TM)
     out = pl.pallas_call(
-        functools.partial(_min_d2_grouped_kernel, n_chunks=Mp // TM),
-        grid=(G, Np // TQ),
+        functools.partial(
+            _min_d2_grouped_kernel, n_chunks=Mp // tm, tm=tm, variant=variant
+        ),
+        grid=(G, Np // tq),
         in_specs=[
             pl.BlockSpec((G, 48), lambda g, n: (0, 0)),
-            pl.BlockSpec((8, TQ), lambda g, n: (0, n)),
+            pl.BlockSpec((8, tq), lambda g, n: (0, n)),
             pl.BlockSpec((Mp, 8), lambda g, n: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 8, TQ), lambda g, n: (g, 0, n))],
+        out_specs=[pl.BlockSpec((1, 8, tq), lambda g, n: (g, 0, n))],
         out_shape=[jax.ShapeDtypeStruct((G, 8, Np), jnp.float32)],
         interpret=interpret,
     )(gparams, srcT, wm)
@@ -240,12 +295,14 @@ def pack_group_params(R, t8) -> jnp.ndarray:
     )
 
 
-def min_d2_groups(srcT, wm, gparams, *, interpret=None):
+def min_d2_groups(srcT, wm, gparams, *, interpret=None, variant: str = "diff"):
     """Exact min squared distances for 8-sibling translation groups:
     ``d2 [8·G, Np]``, row ``8g+j`` = node (R_g, t_{g,j})."""
     if interpret is None:
         interpret = not _on_tpu()
-    return _min_d2_grouped_padded(gparams, srcT, wm, interpret=interpret)
+    return _min_d2_grouped_padded(
+        gparams, srcT, wm, interpret=interpret, variant=variant
+    )
 
 
 def _on_tpu() -> bool:
@@ -257,10 +314,10 @@ def _on_tpu() -> bool:
 
 def pack_targets(targets) -> jnp.ndarray:
     """``[Nt,3] → wm [Mp, 8]`` cols (m_x, m_y, m_z, 1, |m|², 0…), padded to
-    ``TM`` rows with off-scale sentinels."""
+    the 128-row quantum with off-scale sentinels."""
     targets = jnp.asarray(targets, jnp.float32)
     nt = targets.shape[0]
-    padt = (-nt) % TM
+    padt = (-nt) % 128
     if padt:
         targets = jnp.concatenate(
             [targets, jnp.full((padt, 3), _PAD_TGT, jnp.float32)]
@@ -276,10 +333,11 @@ def pack_targets(targets) -> jnp.ndarray:
 
 
 def pack_sources(src) -> jnp.ndarray:
-    """``[N,3] → srcT [8, Np]`` rows (x, y, z, 0…), zero-padded to ``TQ``."""
+    """``[N,3] → srcT [8, Np]`` rows (x, y, z, 0…), zero-padded to the
+    128-lane quantum."""
     src = jnp.asarray(src, jnp.float32)
     n = src.shape[0]
-    padn = (-n) % TQ
+    padn = (-n) % 128
     if padn:
         src = jnp.concatenate([src, jnp.zeros((padn, 3), jnp.float32)])
     return jnp.zeros((8, src.shape[0]), jnp.float32).at[0:3].set(src.T)

