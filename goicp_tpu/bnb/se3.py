@@ -258,6 +258,41 @@ def evaluate_se3_nodes(
     return jnp.where(mask, s_ub, _INF), jnp.where(mask, s_lb, _INF)
 
 
+@functools.partial(jax.jit, static_argnames=("h",))
+def evaluate_se3_nodes_screened(
+    src, norms, tgt, slack, thresh, R, max_angle, t_c, t_span, mask, *, h: int,
+):
+    """Fused-epilogue bound evaluation with PROGRESSIVE SCREENING
+    (``nn.mxu.bounds_nodes``): partial lower-bound sums prune most nodes
+    after a fraction of the cloud (see the kernel docs).  Untrimmed only."""
+    from goicp_tpu.nn import mxu as _mxu
+
+    af = 2.0 * jnp.sin(jnp.minimum(max_angle, jnp.pi) / 2.0)
+    gt = _SQRT3 * t_span
+    srcT = _mxu.pack_sources_ext(src, norms)
+    wm = _mxu.pack_targets(tgt)
+    params = _mxu.pack_params_bounds(R, t_c, af, gt, slack, thresh)
+    ub, lb = _mxu.bounds_nodes(srcT, wm, params)
+    return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def evaluate_se3_groups_screened(
+    src, norms, tgt, slack, thresh, R, max_angle, t8, t_span8, mask, *, h: int,
+):
+    """Grouped (8 t-siblings / rotation) fused bounds with group-level
+    screening (``nn.mxu.bounds_groups``).  Untrimmed only."""
+    from goicp_tpu.nn import mxu as _mxu
+
+    af = 2.0 * jnp.sin(jnp.minimum(max_angle, jnp.pi) / 2.0)
+    gt8 = _SQRT3 * t_span8
+    srcT = _mxu.pack_sources_ext(src, norms)
+    wm = _mxu.pack_targets(tgt)
+    gparams = _mxu.pack_group_params_bounds(R, t8, af, gt8, slack, thresh)
+    ub, lb = _mxu.bounds_groups(srcT, wm, gparams)
+    return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -266,7 +301,7 @@ def evaluate_se3_nodes(
     ),
 )
 def se3_round(
-    src, norms, grid, tgt, slack,
+    src, norms, grid, tgt, slack, thresh,
     R, max_angle, t_c, t_span, mask,
     *,
     h: int,
@@ -282,12 +317,19 @@ def se3_round(
     in a single dispatch (one host↔device round trip per outer round —
     the reference pays a launch+sync per *node*, ``registration.cu:144``).
 
-    Returns ``(ub, lb, R_ref, t_ref, sse_ref)`` where the last three are the
-    ICP-refined poses of the ``refine_k`` best-ub nodes.
+    ``thresh`` = incumbent − ε at dispatch time: the screened kernel prunes
+    nodes from partial lower-bound sums (backend "screen"); other backends
+    ignore it.  Returns ``(ub, lb, R_ref, t_ref, sse_ref)`` where the last
+    three are the ICP-refined poses of the ``refine_k`` best-ub nodes.
     """
     from goicp_tpu.icp import exact_correspondence, grid_correspondence, run_icp
 
-    if backend == "mxu":
+    if backend == "screen":
+        ub, lb = evaluate_se3_nodes_screened(
+            src, norms, tgt, slack, thresh, R, max_angle, t_c, t_span, mask,
+            h=h,
+        )
+    elif backend == "mxu":
         ub, lb = evaluate_se3_nodes_mxu(
             src, norms, tgt, slack, R, max_angle, t_c, t_span, mask, h=h,
         )
@@ -326,7 +368,7 @@ def _refine_tail(ub, lb, R, t_c, src, grid, tgt, refine_k, icp_params,
     ),
 )
 def se3_round_grouped(
-    src, norms, grid, tgt, slack,
+    src, norms, grid, tgt, slack, thresh,
     R, max_angle, t8, t_span8, mask,
     *,
     h: int,
@@ -340,13 +382,17 @@ def se3_round_grouped(
 ):
     """One fused BnB round over TRANSLATION-SPLIT groups: ``G`` parent
     rotations × 8 translation octant children each (``R [G,3,3]``,
-    ``t8 [G,8,3]``).  On the mxu backend the grouped kernel amortizes the
-    rotation's distance plane across the 8 siblings; other backends flatten
-    to per-node jobs.  Node order of all outputs is group-major."""
+    ``t8 [G,8,3]``).  On the mxu/screen backends the grouped kernel
+    amortizes the rotation's distance plane across the 8 siblings; other
+    backends flatten to per-node jobs.  Node order is group-major."""
     G = R.shape[0]
     R_flat = jnp.repeat(R, 8, axis=0)                  # [8G,3,3]
     t_flat = t8.reshape(8 * G, 3)
-    if backend == "mxu":
+    if backend in ("mxu", "screen"):
+        # T-rounds stay on the UNFUSED grouped kernel even when screening:
+        # group-granularity skips (all 8 siblings must cross the threshold)
+        # recover less than the fused kernel's serialized-pipeline overhead
+        # costs (measured: fused-noskip 243 G vs unfused 388 G, v5e)
         ub, lb = evaluate_se3_groups_mxu(
             src, norms, tgt, slack, R, max_angle, t8, t_span8, mask, h=h,
         )
@@ -466,7 +512,7 @@ class GoIcpSolverSE3(GoIcpSolver):
             from goicp_tpu.dist.sharding import make_mesh
 
             mesh = make_mesh(n_c, n_p)
-            quantum = 128 if self._backend == "mxu" else p.point_tile
+            quantum = 128 if self._backend in ("mxu", "screen") else p.point_tile
             src_pad, norms_pad = pad_points(
                 self.src, np.asarray(self.ev.norms), n_p, quantum
             )
@@ -478,7 +524,9 @@ class GoIcpSolverSE3(GoIcpSolver):
                 h=(self.ev.h if p.trim_fraction > 0 else 0),
                 n_valid=self.src.shape[0],
                 lookup=p.lookup,
-                backend=self._backend,
+                # mesh rounds use the unfused kernel (screening is a
+                # single-core sequential-grid optimization)
+                backend=("mxu" if self._backend == "screen" else self._backend),
                 tile=p.point_tile,
                 refine_k=p.refine_top_k,
                 icp_params=self._icp_params,
@@ -602,9 +650,10 @@ class GoIcpSolverSE3(GoIcpSolver):
                     self._tgt_dev,
                     jnp.float32(
                         self._exact_slack
-                        if self._backend in ("exact", "mxu")
+                        if self._backend in ("exact", "mxu", "screen")
                         else self.ev.slack
                     ),
+                    jnp.float32(best_sse - self.sse_thresh),
                     jnp.asarray(R_pad),
                     jnp.asarray(ang_pad),
                     jnp.asarray(t8_pad),
@@ -647,7 +696,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                 self._tgt_dev,
                 jnp.float32(
                     self._exact_slack
-                    if self._backend in ("exact", "mxu")
+                    if self._backend in ("exact", "mxu", "screen")
                     else self.ev.slack
                 ),
                 jnp.asarray(R_c),
@@ -719,9 +768,10 @@ class GoIcpSolverSE3(GoIcpSolver):
                 self._tgt_dev,
                 jnp.float32(
                     self._exact_slack
-                    if self._backend in ("exact", "mxu")
+                    if self._backend in ("exact", "mxu", "screen")
                     else self.ev.slack
                 ),
+                jnp.float32(best_sse - self.sse_thresh),
                 jnp.asarray(
                     np.concatenate(
                         [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
@@ -780,6 +830,16 @@ class GoIcpSolverSE3(GoIcpSolver):
                 best_R, best_t = R_c[j], child[j, 4:7]
                 fR.prune(best_sse - self.sse_thresh)
                 fT.prune(best_sse - self.sse_thresh)
+
+            # lb/threshold distribution (diagnostic): sizes the subset-lb
+            # screen — children with lb ≫ thresh are prunable from a
+            # cheap partial-sum bound over Ns/N points
+            thr = max(best_sse - self.sse_thresh, 1e-30)
+            r = lb_c / thr
+            for lo, hi in ((1, 2), (2, 3), (3, 4), (4, 6), (6, 8), (8, 12),
+                           (12, 1e30)):
+                m.count(f"lb_r_{lo}", int(((r >= lo) & (r < hi)).sum()))
+            m.count("lb_r_alive", int((r < 1).sum()))
 
             alive = lb_c < best_sse - self.sse_thresh
             if (alive & lf).any():

@@ -280,6 +280,11 @@ class BnbParams:
                                      # point-node pair budget
     pipeline_depth: int = 3          # fused rounds in flight (stale-incumbent
                                      # tolerance buys latency hiding)
+    screen: bool = True              # progressive in-kernel screening: skip
+                                     # a node's remaining point-blocks once
+                                     # its partial lb crosses best−ε (valid:
+                                     # partial sums of nonneg terms are lbs;
+                                     # ≙ jly's lb-prune, jly_goicp.cpp:554)
     split_beta: float = 1.0          # split-rule bias: r-split only when
                                      # rot radius >= beta * trans radius;
                                      # >1 favors t-splits (grouped kernel
@@ -365,6 +370,14 @@ class GoIcpSolver:
                 self._backend = "grid"
         else:
             self._backend = params.bound_backend
+        # progressive-screening kernel: fused epilogue + partial-lb early
+        # exit (nn.mxu.bounds_nodes) — untrimmed single-chip solves only
+        if (
+            self._backend == "mxu"
+            and params.screen
+            and params.trim_fraction == 0.0
+        ):
+            self._backend = "screen"
 
         # Tight domain (target bbox × expand, ≙ jly's expandFactor=2 DT box,
         # jly_3ddt.cpp:889): queries landing outside get exact
@@ -658,11 +671,11 @@ class GoIcpSolver:
                     self.ev.norms,
                     self.grid,
                     self._tgt_dev
-                    if self._backend in ("exact", "mxu")
+                    if self._backend in ("exact", "mxu", "screen")
                     else self._tgt_dev[:1],
                     jnp.float32(
                         self._exact_slack
-                        if self._backend in ("exact", "mxu")
+                        if self._backend in ("exact", "mxu", "screen")
                         else self.ev.slack
                     ),
                     jnp.asarray(R_pad),
@@ -681,7 +694,7 @@ class GoIcpSolver:
                     # the nested device-inner loop has no fused-kernel path;
                     # mxu degrades to the XLA exact expansion there
                     backend=(
-                        "exact" if self._backend in ("exact", "mxu")
+                        "exact" if self._backend in ("exact", "mxu", "screen")
                         else "grid"
                     ),
                 )

@@ -367,6 +367,292 @@ def min_d2_nodes(srcT, wm, params, *, interpret=None, precision=_PREC,
     return d2
 
 
+# ---------------------------------------------------------------------------
+# fused-bounds kernels: min-distance + Yang eq. 10 epilogue + PROGRESSIVE
+# SCREENING in one kernel.  Point-blocks are the inner grid dimension; each
+# block adds its (valid, partial) lower-bound sum into scratch, and once the
+# partial crosses the node's prune threshold the remaining blocks skip via
+# @pl.when — a measured 70% of evaluated BnB children carry lb ≥ 2× the
+# threshold (bunny@0.05), so most nodes finish after a fraction of the cloud.
+# Partial sums of the nonnegative per-point terms are themselves valid lower
+# bounds, so a screened node reports (ub=+inf, lb=partial ≥ thresh): the
+# engine prunes it exactly as jly prunes on lb ≥ optError − SSEThresh
+# (jly_goicp.cpp:554-562) without ever paying the full evaluation.
+# ---------------------------------------------------------------------------
+
+TQB = 384           # point-block cap for the screened kernels (smaller blocks
+                    # = finer screening granularity; cap balances skip rate
+                    # against per-program overhead)
+
+
+def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
+                   n_chunks: int, tm: int, nb: int):
+    """(node b, point-block n) program: fused bounds with screening.
+
+    ``params`` row: R×9, t×3, af (2·sin(min(√3σ,π)/2)), γt, slack, thresh.
+    ``src`` rows: x, y, z, ‖p‖, valid.  ``out [B,128]``: col0 ub, col1 lb
+    (ub = 1e30 when screened early — never a valid incumbent).
+    """
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        acc_ref[0] = 0.0
+        acc_ref[1] = 0.0
+        acc_ref[2] = 0.0
+
+    thresh = params_ref[b, 15]
+
+    @pl.when((n == 0) | (acc_ref[0] < thresh))
+    def _():
+        px = src_ref[0:1, :]
+        py = src_ref[1:2, :]
+        pz = src_ref[2:3, :]
+        pn = src_ref[3:4, :]
+        pv = src_ref[4:5, :]
+        qx = px * params_ref[b, 0] + py * params_ref[b, 1] \
+            + pz * params_ref[b, 2] + params_ref[b, 9]
+        qy = px * params_ref[b, 3] + py * params_ref[b, 4] \
+            + pz * params_ref[b, 5] + params_ref[b, 10]
+        qz = px * params_ref[b, 6] + py * params_ref[b, 7] \
+            + pz * params_ref[b, 8] + params_ref[b, 11]
+
+        def body(c, best):
+            w = wm_ref[pl.dslice(c * tm, tm), :]
+            dx = w[:, 0:1] - qx
+            dy = w[:, 1:2] - qy
+            dz = w[:, 2:3] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            return jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
+
+        best = jax.lax.fori_loop(
+            0, n_chunks, body,
+            jnp.full((1, qx.shape[1]), jnp.inf, jnp.float32),
+        )
+        d = jnp.sqrt(jnp.maximum(best, 0.0))
+        slack = params_ref[b, 14]
+        d_hi = d + slack
+        d_lo = jnp.maximum(d - slack, 0.0)
+        defl = params_ref[b, 12] * pn + params_ref[b, 13]
+        acc_ref[1] = acc_ref[1] + jnp.sum(d_hi * d_hi * pv)
+        lb_c = jnp.maximum(d_lo - defl, 0.0)
+        acc_ref[0] = acc_ref[0] + jnp.sum(lb_c * lb_c * pv)
+        acc_ref[2] = acc_ref[2] + 1.0
+
+    @pl.when(n == nb - 1)
+    def _():
+        complete = acc_ref[2] == float(nb)
+        ub = jnp.where(complete, acc_ref[1], 1e30)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[0, :, :] = jnp.where(
+            col == 0, ub, jnp.where(col == 1, acc_ref[0], 0.0)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bounds_padded(params, srcT, wm, *, interpret: bool):
+    B = params.shape[0]
+    Np, Mp = srcT.shape[1], wm.shape[0]
+    tq = _pick_tile(Np, TQB)
+    tm = _pick_tile(Mp, TM)
+    nb = Np // tq
+    out = pl.pallas_call(
+        functools.partial(_bounds_kernel, n_chunks=Mp // tm, tm=tm, nb=nb),
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((B, 16), lambda b, n: (0, 0)),
+            pl.BlockSpec((8, tq), lambda b, n: (0, n)),
+            pl.BlockSpec((Mp, 8), lambda b, n: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda b, n: (b, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
+        interpret=interpret,
+    )(params, srcT, wm)[0]
+    return out[:, 0, 0], out[:, 0, 1]                      # ub, lb
+
+
+def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
+                           n_chunks: int, tm: int, nb: int):
+    """Grouped (8 translation siblings / rotation) fused bounds with
+    GROUP-level screening: the block skips once every sibling's partial lb
+    crosses the threshold (the shared base plane makes per-sibling skipping
+    free-of-savings on the VPU).
+
+    ``params`` row [64]: R×9, t8×24, |t_j|²×8, af, γt×8 (41-48), slack,
+    thresh.  ``out [G,128]``: cols 0-7 sibling ubs, 8-15 sibling lbs.
+    """
+    g = pl.program_id(0)
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        for j in range(17):
+            acc_ref[j] = 0.0
+
+    thresh = params_ref[g, 51]
+    min_lb = acc_ref[0]
+    for j in range(1, 8):
+        min_lb = jnp.minimum(min_lb, acc_ref[j])
+
+    @pl.when((n == 0) | (min_lb < thresh))
+    def _():
+        px = src_ref[0:1, :]
+        py = src_ref[1:2, :]
+        pz = src_ref[2:3, :]
+        pn = src_ref[3:4, :]
+        pv = src_ref[4:5, :]
+        ux = px * params_ref[g, 0] + py * params_ref[g, 1] + pz * params_ref[g, 2]
+        uy = px * params_ref[g, 3] + py * params_ref[g, 4] + pz * params_ref[g, 5]
+        uz = px * params_ref[g, 6] + py * params_ref[g, 7] + pz * params_ref[g, 8]
+
+        def body(c, best):
+            w = wm_ref[pl.dslice(c * tm, tm), :]
+            wx = w[:, 0:1]
+            wy = w[:, 1:2]
+            wz = w[:, 2:3]
+            dx = wx - ux
+            dy = wy - uy
+            dz = wz - uz
+            Gp = dx * dx + dy * dy + dz * dz
+            rows = []
+            for j in range(8):
+                tx = params_ref[g, 9 + 3 * j]
+                ty = params_ref[g, 10 + 3 * j]
+                tz = params_ref[g, 11 + 3 * j]
+                bj = params_ref[g, 33 + j] - 2.0 * (tx * wx + ty * wy + tz * wz)
+                rows.append(jnp.min(Gp + bj, axis=0, keepdims=True))
+            return jnp.minimum(best, jnp.concatenate(rows, axis=0))
+
+        best = jax.lax.fori_loop(
+            0, n_chunks, body,
+            jnp.full((8, ux.shape[1]), jnp.inf, jnp.float32),
+        )
+        slack = params_ref[g, 50]
+        af = params_ref[g, 41]
+        for j in range(8):
+            tx = params_ref[g, 9 + 3 * j]
+            ty = params_ref[g, 10 + 3 * j]
+            tz = params_ref[g, 11 + 3 * j]
+            aj = 2.0 * (tx * ux + ty * uy + tz * uz)
+            d2 = jnp.maximum(best[j : j + 1, :] + aj, 0.0)
+            d = jnp.sqrt(d2)
+            d_hi = d + slack
+            d_lo = jnp.maximum(d - slack, 0.0)
+            defl = af * pn + params_ref[g, 42 + j]
+            lb_c = jnp.maximum(d_lo - defl, 0.0)
+            acc_ref[8 + j] = acc_ref[8 + j] + jnp.sum(d_hi * d_hi * pv)
+            acc_ref[j] = acc_ref[j] + jnp.sum(lb_c * lb_c * pv)
+        acc_ref[16] = acc_ref[16] + 1.0
+
+    @pl.when(n == nb - 1)
+    def _():
+        complete = acc_ref[16] == float(nb)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.zeros((1, 128), jnp.float32)
+        for j in range(8):
+            ub_j = jnp.where(complete, acc_ref[8 + j], 1e30)
+            row = jnp.where(col == j, ub_j, row)
+            row = jnp.where(col == 8 + j, acc_ref[j], row)
+        out_ref[0, :, :] = row
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bounds_grouped_padded(gparams, srcT, wm, *, interpret: bool):
+    G = gparams.shape[0]
+    Np, Mp = srcT.shape[1], wm.shape[0]
+    tq = _pick_tile(Np, TQB)
+    tm = _pick_tile(Mp, TM)
+    nb = Np // tq
+    out = pl.pallas_call(
+        functools.partial(
+            _bounds_grouped_kernel, n_chunks=Mp // tm, tm=tm, nb=nb
+        ),
+        grid=(G, nb),
+        in_specs=[
+            pl.BlockSpec((G, 64), lambda g, n: (0, 0)),
+            pl.BlockSpec((8, tq), lambda g, n: (0, n)),
+            pl.BlockSpec((Mp, 8), lambda g, n: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda g, n: (g, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((17,), jnp.float32)],
+        interpret=interpret,
+    )(gparams, srcT, wm)[0]
+    ub = out[:, 0, 0:8].reshape(8 * G)                     # group-major
+    lb = out[:, 0, 8:16].reshape(8 * G)
+    return ub, lb
+
+
+def pack_sources_ext(src, norms) -> jnp.ndarray:
+    """``[N,3] → srcT [8, Np]`` rows (x, y, z, ‖p‖, valid, 0…) for the
+    fused-bounds kernels; zero-padded (valid=0) to the 128-lane quantum.
+    jnp-traceable (called inside the jitted round)."""
+    src = jnp.asarray(src, jnp.float32)
+    norms = jnp.asarray(norms, jnp.float32)
+    n = src.shape[0]
+    npad = n + ((-n) % 128)
+    return (
+        jnp.zeros((8, npad), jnp.float32)
+        .at[0:3, :n].set(src.T)
+        .at[3, :n].set(norms)
+        .at[4, :n].set(1.0)
+    )
+
+
+def pack_params_bounds(R, t, af, gt, slack, thresh) -> jnp.ndarray:
+    """``[B,16]`` rows (R×9, t×3, af, γt, slack, thresh)."""
+    R = jnp.asarray(R, jnp.float32)
+    B = R.shape[0]
+    return jnp.concatenate(
+        [
+            R.reshape(B, 9),
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(af, jnp.float32)[:, None],
+            jnp.asarray(gt, jnp.float32)[:, None],
+            jnp.broadcast_to(jnp.float32(slack), (B,))[:, None],
+            jnp.broadcast_to(jnp.float32(thresh), (B,))[:, None],
+        ],
+        axis=1,
+    )
+
+
+def pack_group_params_bounds(R, t8, af, gt8, slack, thresh) -> jnp.ndarray:
+    """``[G,64]`` rows (R×9, t8×24, |t_j|²×8, af, γt×8, slack, thresh, pad)."""
+    R = jnp.asarray(R, jnp.float32)
+    t8 = jnp.asarray(t8, jnp.float32)
+    G = R.shape[0]
+    tn = jnp.sum(t8 * t8, axis=-1)                         # [G, 8]
+    return jnp.concatenate(
+        [
+            R.reshape(G, 9),
+            t8.reshape(G, 24),
+            tn,
+            jnp.asarray(af, jnp.float32)[:, None],
+            jnp.asarray(gt8, jnp.float32).reshape(G, 8),
+            jnp.broadcast_to(jnp.float32(slack), (G,))[:, None],
+            jnp.broadcast_to(jnp.float32(thresh), (G,))[:, None],
+            jnp.zeros((G, 12), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def bounds_nodes(srcT_ext, wm, params, *, interpret=None):
+    """Fused screened bounds for singleton nodes: ``(ub, lb) [B]``."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _bounds_padded(params, srcT_ext, wm, interpret=interpret)
+
+
+def bounds_groups(srcT_ext, wm, gparams, *, interpret=None):
+    """Fused screened bounds for 8-sibling groups: ``(ub, lb) [8·G]``."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _bounds_grouped_padded(gparams, srcT_ext, wm, interpret=interpret)
+
+
 def nearest_neighbor_mxu(queries, targets, *, interpret=None):
     """Exact NN (values + indices): drop-in for ``nn.brute.nearest_neighbor``.
 

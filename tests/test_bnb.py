@@ -205,3 +205,25 @@ def test_nested_engine_recovers():
     pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
     rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
     assert rmse < 2e-3
+
+
+def test_screened_solve_matches_unscreened():
+    """The progressive-screening backend ("screen", interpret mode on CPU)
+    must converge to the same pose as the unscreened mxu kernel — screening
+    only skips work on nodes whose partial lb already proves them prunable."""
+    rng = np.random.default_rng(11)
+    src = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6
+    R_true = random_rotation(rng)
+    t_true = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+    tgt = (src @ R_true.T + t_true).astype(np.float32)
+
+    kw = dict(mse_threshold=1e-5, se3_pop=64, max_rounds=80,
+              bound_backend="mxu")
+    res_s = register(src, tgt, BnbParams(screen=True, **kw))
+    res_u = register(src, tgt, BnbParams(screen=False, **kw))
+    for res in (res_s, res_u):
+        pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
+        assert rmse < 2e-3, (rmse, res.converged)
+    assert res_s.converged == res_u.converged
+    assert abs(res_s.mse - res_u.mse) < 1e-6

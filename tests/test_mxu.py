@@ -121,3 +121,98 @@ def test_solver_runs_with_mxu_backend(rng):
     pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
     rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
     assert rmse < 5e-3, rmse
+
+
+def _oracle_bounds(src, tgt, R, t, af, gt, slack=0.0):
+    """Yang eq. 10 bounds from the exact oracle distances."""
+    d2, _ = _oracle_d2(src, tgt, R, t)
+    d = np.sqrt(d2)
+    norms = np.linalg.norm(src, axis=1)
+    ub = ((d + slack) ** 2).sum(-1)
+    lb = (
+        np.maximum(np.maximum(d - slack, 0.0) - (af[:, None] * norms + gt[:, None]), 0.0)
+        ** 2
+    ).sum(-1)
+    return ub, lb
+
+
+def test_bounds_nodes_unscreened_matches_oracle(rng):
+    src, tgt, R, t = _scene(rng, b=6)
+    af = rng.random(6).astype(np.float32) * 0.3
+    gt = rng.random(6).astype(np.float32) * 0.1
+    ub_ref, lb_ref = _oracle_bounds(src, tgt, R, t, af, gt)
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    params = mxu.pack_params_bounds(R, t, af, gt, 0.0, 1e30)
+    ub, lb = map(np.asarray, mxu.bounds_nodes(srcT, wm, params, interpret=True))
+    assert np.allclose(ub, ub_ref, rtol=1e-5, atol=1e-5), np.abs(ub - ub_ref).max()
+    assert np.allclose(lb, lb_ref, rtol=1e-5, atol=1e-5), np.abs(lb - lb_ref).max()
+
+
+def test_bounds_nodes_screening_is_valid(rng):
+    """With a finite threshold, screened nodes report a PARTIAL lb that is
+    still a valid lower bound (≤ full lb) and ≥ the threshold; their ub is
+    an inf sentinel.  Unscreened nodes match the full evaluation."""
+    src, tgt, R, t = _scene(rng, n=512, b=8)
+    t = t + np.float32([2.0, 0, 0])      # push far: large lb, screen fires
+    t[0] = 0.0                           # ...except node 0 (small lb)
+    af = np.full(8, 0.05, np.float32)
+    gt = np.full(8, 0.02, np.float32)
+    ub_ref, lb_ref = _oracle_bounds(src, tgt, R, t, af, gt)
+    thresh = float(np.sort(lb_ref)[1] * 0.5)   # screens the far nodes only
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    params = mxu.pack_params_bounds(R, t, af, gt, 0.0, thresh)
+    ub, lb = map(np.asarray, mxu.bounds_nodes(srcT, wm, params, interpret=True))
+    for b in range(8):
+        if ub[b] >= 1e29:        # screened
+            assert lb[b] >= thresh - 1e-4
+            assert lb[b] <= lb_ref[b] + 1e-3
+        else:
+            assert np.isclose(ub[b], ub_ref[b], rtol=1e-5, atol=1e-5)
+            assert np.isclose(lb[b], lb_ref[b], rtol=1e-5, atol=1e-5)
+    assert ub[0] < 1e29          # the near node was fully evaluated
+
+
+def test_bounds_groups_matches_oracle(rng):
+    src, tgt, Rg, _ = _scene(rng, b=3)
+    G = 3
+    t8 = (rng.random((G, 8, 3)).astype(np.float32) - 0.5) * 0.3
+    af = rng.random(G).astype(np.float32) * 0.3
+    gt8 = rng.random((G, 8)).astype(np.float32) * 0.1
+    R_flat = np.repeat(Rg, 8, axis=0)
+    t_flat = t8.reshape(-1, 3)
+    ub_ref, lb_ref = _oracle_bounds(
+        src, tgt, R_flat, t_flat, np.repeat(af, 8), gt8.reshape(-1)
+    )
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    gparams = mxu.pack_group_params_bounds(Rg, t8, af, gt8, 0.0, 1e30)
+    ub, lb = map(np.asarray, mxu.bounds_groups(srcT, wm, gparams, interpret=True))
+    assert np.allclose(ub, ub_ref, rtol=1e-5, atol=1e-5), np.abs(ub - ub_ref).max()
+    assert np.allclose(lb, lb_ref, rtol=1e-5, atol=1e-5), np.abs(lb - lb_ref).max()
+
+
+def test_bounds_groups_screening_is_valid(rng):
+    src, tgt, Rg, _ = _scene(rng, n=512, b=2)
+    G = 2
+    t8 = (rng.random((G, 8, 3)).astype(np.float32) - 0.5) * 0.1
+    t8[1] += 2.0                          # far group: every sibling screens
+    af = np.full(G, 0.05, np.float32)
+    gt8 = np.full((G, 8), 0.02, np.float32)
+    ub_ref, lb_ref = _oracle_bounds(
+        src, tgt, np.repeat(Rg, 8, axis=0), t8.reshape(-1, 3),
+        np.repeat(af, 8), gt8.reshape(-1)
+    )
+    thresh = float(lb_ref[8:].min() * 0.3)
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    gparams = mxu.pack_group_params_bounds(Rg, t8, af, gt8, 0.0, thresh)
+    ub, lb = map(np.asarray, mxu.bounds_groups(srcT, wm, gparams, interpret=True))
+    # near group fully evaluated
+    assert np.allclose(ub[:8], ub_ref[:8], rtol=1e-5, atol=1e-5)
+    assert np.allclose(lb[:8], lb_ref[:8], rtol=1e-5, atol=1e-5)
+    # far group screened: partial lbs ≥ thresh, ubs sentinel
+    assert (ub[8:] >= 1e29).all()
+    assert (lb[8:] >= thresh - 1e-4).all()
+    assert (lb[8:] <= lb_ref[8:] + 1e-3).all()
