@@ -385,26 +385,34 @@ TQB = 384           # point-block cap for the screened kernels (smaller blocks
                     # against per-program overhead)
 
 
-def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
+def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, *,
                    n_chunks: int, tm: int, nb: int):
-    """(node b, point-block n) program: fused bounds with screening.
+    """(point-block n, node b) program: fused bounds with screening.
+
+    The POINT-BLOCK axis is the OUTER grid dimension: the skip predicate for
+    program (n, b) reads the accumulator written by (n−1, b) — B programs
+    earlier — so consecutive programs carry no data dependency and Mosaic's
+    program pipelining stays full (the (b, n) order serializes on the
+    per-node scratch and measured 19-37% slower).  Accumulators live in the
+    node's own revisited output row: col0 ub, col1 lb, col2 blocks-done.
 
     ``params`` row: R×9, t×3, af (2·sin(min(√3σ,π)/2)), γt, slack, thresh.
-    ``src`` rows: x, y, z, ‖p‖, valid.  ``out [B,128]``: col0 ub, col1 lb
-    (ub = 1e30 when screened early — never a valid incumbent).
+    ``src`` rows: x, y, z, ‖p‖, valid.  ``out [B,1,128]``: col0 ub (1e30
+    when screened early — never a valid incumbent), col1 lb (partial ≥
+    thresh when screened — still a valid lower bound).
     """
-    b = pl.program_id(0)
-    n = pl.program_id(1)
-
-    @pl.when(n == 0)
-    def _():
-        acc_ref[0] = 0.0
-        acc_ref[1] = 0.0
-        acc_ref[2] = 0.0
-
+    n = pl.program_id(0)
+    b = pl.program_id(1)
     thresh = params_ref[b, 15]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    last = n == nb - 1
 
-    @pl.when((n == 0) | (acc_ref[0] < thresh))
+    # lb accumulated through block n−1 (garbage at n == 0 — predicate is
+    # short-circuited true there)
+    lb_prev = out_ref[0, 0, 1]
+    active = (n == 0) | (lb_prev < thresh)
+
+    @pl.when(active)
     def _():
         px = src_ref[0:1, :]
         py = src_ref[1:2, :]
@@ -435,19 +443,22 @@ def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
         d_hi = d + slack
         d_lo = jnp.maximum(d - slack, 0.0)
         defl = params_ref[b, 12] * pn + params_ref[b, 13]
-        acc_ref[1] = acc_ref[1] + jnp.sum(d_hi * d_hi * pv)
         lb_c = jnp.maximum(d_lo - defl, 0.0)
-        acc_ref[0] = acc_ref[0] + jnp.sum(lb_c * lb_c * pv)
-        acc_ref[2] = acc_ref[2] + 1.0
-
-    @pl.when(n == nb - 1)
-    def _():
-        complete = acc_ref[2] == float(nb)
-        ub = jnp.where(complete, acc_ref[1], 1e30)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        out_ref[0, :, :] = jnp.where(
-            col == 0, ub, jnp.where(col == 1, acc_ref[0], 0.0)
+        ub_c = jnp.sum(d_hi * d_hi * pv)
+        lb_b = jnp.sum(lb_c * lb_c * pv)
+        prev = jnp.where(n == 0, jnp.zeros((1, 128), jnp.float32),
+                         out_ref[0, :, :])
+        # a node active at the last block was active at every block (once
+        # screened, lb_prev never changes again), so this acc is complete
+        out_ref[0, :, :] = prev + jnp.where(
+            col == 0, ub_c, jnp.where(col == 1, lb_b, 0.0)
         )
+
+    @pl.when(jnp.logical_not(active) & last)
+    def _():
+        # screened earlier: finalize in place (ub sentinel, keep partial lb)
+        row = out_ref[0, :, :]
+        out_ref[0, :, :] = jnp.where(col == 0, 1e30, row)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -459,21 +470,20 @@ def _bounds_padded(params, srcT, wm, *, interpret: bool):
     nb = Np // tq
     out = pl.pallas_call(
         functools.partial(_bounds_kernel, n_chunks=Mp // tm, tm=tm, nb=nb),
-        grid=(B, nb),
+        grid=(nb, B),
         in_specs=[
-            pl.BlockSpec((B, 16), lambda b, n: (0, 0)),
-            pl.BlockSpec((8, tq), lambda b, n: (0, n)),
-            pl.BlockSpec((Mp, 8), lambda b, n: (0, 0)),
+            pl.BlockSpec((B, 16), lambda n, b: (0, 0)),
+            pl.BlockSpec((8, tq), lambda n, b: (0, n)),
+            pl.BlockSpec((Mp, 8), lambda n, b: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 1, 128), lambda b, n: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda n, b: (b, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.float32)],
-        scratch_shapes=[pltpu.SMEM((4,), jnp.float32)],
         interpret=interpret,
     )(params, srcT, wm)[0]
     return out[:, 0, 0], out[:, 0, 1]                      # ub, lb
 
 
-def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
+def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, *,
                            n_chunks: int, tm: int, nb: int):
     """Grouped (8 translation siblings / rotation) fused bounds with
     GROUP-level screening: the block skips once every sibling's partial lb
@@ -483,20 +493,20 @@ def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
     ``params`` row [64]: R×9, t8×24, |t_j|²×8, af, γt×8 (41-48), slack,
     thresh.  ``out [G,128]``: cols 0-7 sibling ubs, 8-15 sibling lbs.
     """
-    g = pl.program_id(0)
-    n = pl.program_id(1)
-
-    @pl.when(n == 0)
-    def _():
-        for j in range(17):
-            acc_ref[j] = 0.0
-
+    n = pl.program_id(0)
+    g = pl.program_id(1)
     thresh = params_ref[g, 51]
-    min_lb = acc_ref[0]
-    for j in range(1, 8):
-        min_lb = jnp.minimum(min_lb, acc_ref[j])
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    last = n == nb - 1
 
-    @pl.when((n == 0) | (min_lb < thresh))
+    # sibling lbs accumulated through block n−1 (cols 8-15 of the revisited
+    # output row; garbage at n == 0 where the predicate short-circuits)
+    min_lb = out_ref[0, 0, 8]
+    for j in range(9, 16):
+        min_lb = jnp.minimum(min_lb, out_ref[0, 0, j])
+    active = (n == 0) | (min_lb < thresh)
+
+    @pl.when(active)
     def _():
         px = src_ref[0:1, :]
         py = src_ref[1:2, :]
@@ -531,6 +541,7 @@ def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
         )
         slack = params_ref[g, 50]
         af = params_ref[g, 41]
+        contrib = jnp.zeros((1, 128), jnp.float32)
         for j in range(8):
             tx = params_ref[g, 9 + 3 * j]
             ty = params_ref[g, 10 + 3 * j]
@@ -542,20 +553,21 @@ def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, acc_ref, *,
             d_lo = jnp.maximum(d - slack, 0.0)
             defl = af * pn + params_ref[g, 42 + j]
             lb_c = jnp.maximum(d_lo - defl, 0.0)
-            acc_ref[8 + j] = acc_ref[8 + j] + jnp.sum(d_hi * d_hi * pv)
-            acc_ref[j] = acc_ref[j] + jnp.sum(lb_c * lb_c * pv)
-        acc_ref[16] = acc_ref[16] + 1.0
+            contrib = jnp.where(col == j, jnp.sum(d_hi * d_hi * pv), contrib)
+            contrib = jnp.where(
+                col == 8 + j, jnp.sum(lb_c * lb_c * pv), contrib
+            )
+        prev = jnp.where(n == 0, jnp.zeros((1, 128), jnp.float32),
+                         out_ref[0, :, :])
+        # a group active at the last block was active at every block, so
+        # this accumulation is complete — ubs are real sums
+        out_ref[0, :, :] = prev + contrib
 
-    @pl.when(n == nb - 1)
+    @pl.when(jnp.logical_not(active) & last)
     def _():
-        complete = acc_ref[16] == float(nb)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = jnp.zeros((1, 128), jnp.float32)
-        for j in range(8):
-            ub_j = jnp.where(complete, acc_ref[8 + j], 1e30)
-            row = jnp.where(col == j, ub_j, row)
-            row = jnp.where(col == 8 + j, acc_ref[j], row)
-        out_ref[0, :, :] = row
+        # group screened earlier: ub sentinels, keep the partial lbs
+        row = out_ref[0, :, :]
+        out_ref[0, :, :] = jnp.where(col < 8, 1e30, row)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -569,15 +581,14 @@ def _bounds_grouped_padded(gparams, srcT, wm, *, interpret: bool):
         functools.partial(
             _bounds_grouped_kernel, n_chunks=Mp // tm, tm=tm, nb=nb
         ),
-        grid=(G, nb),
+        grid=(nb, G),
         in_specs=[
-            pl.BlockSpec((G, 64), lambda g, n: (0, 0)),
-            pl.BlockSpec((8, tq), lambda g, n: (0, n)),
-            pl.BlockSpec((Mp, 8), lambda g, n: (0, 0)),
+            pl.BlockSpec((G, 64), lambda n, g: (0, 0)),
+            pl.BlockSpec((8, tq), lambda n, g: (0, n)),
+            pl.BlockSpec((Mp, 8), lambda n, g: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 1, 128), lambda g, n: (g, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda n, g: (g, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
-        scratch_shapes=[pltpu.SMEM((17,), jnp.float32)],
         interpret=interpret,
     )(gparams, srcT, wm)[0]
     ub = out[:, 0, 0:8].reshape(8 * G)                     # group-major
