@@ -78,11 +78,15 @@ def run_scenarios(tmp_root):
     for name in SCENARIOS:
         path = os.path.join(_HERE, "scenarios", name)
         try:
+            # run twice: the first populates jit caches (compiles dominate a
+            # cold scenario), the second is the measured warm wall
+            r0 = run_scenario(path, output_dir=os.path.join(tmp_root, name[:-5]))
             t0 = time.perf_counter()
             r = run_scenario(path, output_dir=os.path.join(tmp_root, name[:-5]))
             out[name[:-5]] = {
                 "wall_s": round(r["wall_s"], 3),
                 "total_wall_s": round(time.perf_counter() - t0, 3),
+                "cold_wall_s": round(r0["wall_s"], 3),
                 "mse": float(r["mse"]),
                 "converged": bool(r["converged"]),
             }

@@ -16,9 +16,9 @@ after the ``shard_map`` region, so XLA inserts the cross-device argmin /
 gather — the incumbent "all-reduce" of a distributed BnB.  Frontier balance
 is by construction in the single-controller design: the host pops the global
 best ``8·B`` nodes each round and splits them evenly over the ``cubes`` axis,
-i.e. the frontier is rebalanced *every* round (a multi-host deployment slices
-pops per host the same way; see ``dist.multihost`` for the frontier-sharded
-driver loop).
+i.e. the frontier is rebalanced *every* round (a multi-host deployment
+slices pops per host the same way — ``multipair.register_pairs`` documents
+the per-host slicing convention).
 
 Backends mirror ``bnb.se3``: "exact"/"grid" are the XLA tile-scan bound
 kernels with point-shard psum epilogues; "mxu" runs the fused Pallas kernel
