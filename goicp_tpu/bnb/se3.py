@@ -390,9 +390,10 @@ def se3_round_grouped(
     t_flat = t8.reshape(8 * G, 3)
     if backend in ("mxu", "screen"):
         # T-rounds stay on the UNFUSED grouped kernel even when screening:
-        # group-granularity skips (all 8 siblings must cross the threshold)
-        # recover less than the fused kernel's serialized-pipeline overhead
-        # costs (measured: fused-noskip 243 G vs unfused 388 G, v5e)
+        # the fused kernel's predicated block loop costs ~40% of the rate
+        # when not skipping (235 vs 388 G measured), and group-granularity
+        # skips (all 8 siblings must cross) fire too rarely to pay it back
+        # (measured: R+T screened solve 12.7 s vs 9.0 s with T unfused).
         ub, lb = evaluate_se3_groups_mxu(
             src, norms, tgt, slack, R, max_angle, t8, t_span8, mask, h=h,
         )

@@ -369,15 +369,18 @@ def min_d2_nodes(srcT, wm, params, *, interpret=None, precision=_PREC,
 
 # ---------------------------------------------------------------------------
 # fused-bounds kernels: min-distance + Yang eq. 10 epilogue + PROGRESSIVE
-# SCREENING in one kernel.  Point-blocks are the inner grid dimension; each
-# block adds its (valid, partial) lower-bound sum into scratch, and once the
-# partial crosses the node's prune threshold the remaining blocks skip via
-# @pl.when — a measured 70% of evaluated BnB children carry lb ≥ 2× the
-# threshold (bunny@0.05), so most nodes finish after a fraction of the cloud.
-# Partial sums of the nonnegative per-point terms are themselves valid lower
-# bounds, so a screened node reports (ub=+inf, lb=partial ≥ thresh): the
-# engine prunes it exactly as jly prunes on lb ≥ optError − SSEThresh
-# (jly_goicp.cpp:554-562) without ever paying the full evaluation.
+# SCREENING in one kernel.  One program per node walks the point-blocks in
+# an inner fori_loop whose body is a lax.cond on the carried partial lower
+# bound: once it crosses the node's prune threshold, the remaining blocks
+# cost one predicate each.  A measured 70% of evaluated BnB children carry
+# lb ≥ 2× the threshold (bunny@0.05), so most nodes finish after a fraction
+# of the cloud.  Partial sums of the nonnegative per-point terms are
+# themselves valid lower bounds, so a screened node reports (ub=+inf,
+# lb=partial ≥ thresh): the engine prunes it exactly as jly prunes on
+# lb ≥ optError − SSEThresh (jly_goicp.cpp:554-562) without ever paying the
+# full evaluation.  (Design history: (node × block) grids — whether blocks
+# were inner or outer, with SMEM scratch or output-row accumulators — paid
+# a measured ~1.1 µs per-program launch floor that erased the savings.)
 # ---------------------------------------------------------------------------
 
 TQB = 384           # point-block cap for the screened kernels (smaller blocks
@@ -386,79 +389,73 @@ TQB = 384           # point-block cap for the screened kernels (smaller blocks
 
 
 def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, *,
-                   n_chunks: int, tm: int, nb: int):
-    """(point-block n, node b) program: fused bounds with screening.
+                   n_chunks: int, tm: int, tq: int, nb: int):
+    """ONE program per node: fused bounds with in-program screening.
 
-    The POINT-BLOCK axis is the OUTER grid dimension: the skip predicate for
-    program (n, b) reads the accumulator written by (n−1, b) — B programs
-    earlier — so consecutive programs carry no data dependency and Mosaic's
-    program pipelining stays full (the (b, n) order serializes on the
-    per-node scratch and measured 19-37% slower).  Accumulators live in the
-    node's own revisited output row: col0 ub, col1 lb, col2 blocks-done.
+    The whole (padded) cloud is resident; an inner ``fori_loop`` walks
+    ``nb`` point-blocks of ``tq`` columns, and each iteration's body is a
+    ``lax.cond`` on the carried partial lower bound — once it crosses the
+    node's threshold the remaining blocks cost one predicate each.  One
+    program per node keeps the launch count identical to the unfused
+    kernel: the earlier (node × block) grids paid a measured ~1.1 µs
+    per-program floor that erased the skip savings.
 
     ``params`` row: R×9, t×3, af (2·sin(min(√3σ,π)/2)), γt, slack, thresh.
     ``src`` rows: x, y, z, ‖p‖, valid.  ``out [B,1,128]``: col0 ub (1e30
     when screened early — never a valid incumbent), col1 lb (partial ≥
     thresh when screened — still a valid lower bound).
     """
-    n = pl.program_id(0)
-    b = pl.program_id(1)
+    b = pl.program_id(0)
     thresh = params_ref[b, 15]
+    slack = params_ref[b, 14]
+
+    def block(n, carry):
+        ub_acc, lb_acc = carry
+
+        def compute(c0):
+            ub0, lb0 = c0
+            sl = pl.dslice(n * tq, tq)
+            px = src_ref[0:1, sl]
+            py = src_ref[1:2, sl]
+            pz = src_ref[2:3, sl]
+            pn = src_ref[3:4, sl]
+            pv = src_ref[4:5, sl]
+            qx = px * params_ref[b, 0] + py * params_ref[b, 1] \
+                + pz * params_ref[b, 2] + params_ref[b, 9]
+            qy = px * params_ref[b, 3] + py * params_ref[b, 4] \
+                + pz * params_ref[b, 5] + params_ref[b, 10]
+            qz = px * params_ref[b, 6] + py * params_ref[b, 7] \
+                + pz * params_ref[b, 8] + params_ref[b, 11]
+
+            def body(c, best):
+                w = wm_ref[pl.dslice(c * tm, tm), :]
+                dx = w[:, 0:1] - qx
+                dy = w[:, 1:2] - qy
+                dz = w[:, 2:3] - qz
+                d2 = dx * dx + dy * dy + dz * dz
+                return jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
+
+            best = jax.lax.fori_loop(
+                0, n_chunks, body,
+                jnp.full((1, tq), jnp.inf, jnp.float32),
+            )
+            d = jnp.sqrt(jnp.maximum(best, 0.0))
+            d_hi = d + slack
+            d_lo = jnp.maximum(d - slack, 0.0)
+            defl = params_ref[b, 12] * pn + params_ref[b, 13]
+            lb_c = jnp.maximum(d_lo - defl, 0.0)
+            return (ub0 + jnp.sum(d_hi * d_hi * pv),
+                    lb0 + jnp.sum(lb_c * lb_c * pv))
+
+        return jax.lax.cond(lb_acc < thresh, compute, lambda c0: c0,
+                            (ub_acc, lb_acc))
+
+    ub, lb = jax.lax.fori_loop(
+        0, nb, block, (jnp.float32(0.0), jnp.float32(0.0))
+    )
+    ub = jnp.where(lb < thresh, ub, 1e30)   # screened ⇒ partial ub: sentinel
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    last = n == nb - 1
-
-    # lb accumulated through block n−1 (garbage at n == 0 — predicate is
-    # short-circuited true there)
-    lb_prev = out_ref[0, 0, 1]
-    active = (n == 0) | (lb_prev < thresh)
-
-    @pl.when(active)
-    def _():
-        px = src_ref[0:1, :]
-        py = src_ref[1:2, :]
-        pz = src_ref[2:3, :]
-        pn = src_ref[3:4, :]
-        pv = src_ref[4:5, :]
-        qx = px * params_ref[b, 0] + py * params_ref[b, 1] \
-            + pz * params_ref[b, 2] + params_ref[b, 9]
-        qy = px * params_ref[b, 3] + py * params_ref[b, 4] \
-            + pz * params_ref[b, 5] + params_ref[b, 10]
-        qz = px * params_ref[b, 6] + py * params_ref[b, 7] \
-            + pz * params_ref[b, 8] + params_ref[b, 11]
-
-        def body(c, best):
-            w = wm_ref[pl.dslice(c * tm, tm), :]
-            dx = w[:, 0:1] - qx
-            dy = w[:, 1:2] - qy
-            dz = w[:, 2:3] - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            return jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
-
-        best = jax.lax.fori_loop(
-            0, n_chunks, body,
-            jnp.full((1, qx.shape[1]), jnp.inf, jnp.float32),
-        )
-        d = jnp.sqrt(jnp.maximum(best, 0.0))
-        slack = params_ref[b, 14]
-        d_hi = d + slack
-        d_lo = jnp.maximum(d - slack, 0.0)
-        defl = params_ref[b, 12] * pn + params_ref[b, 13]
-        lb_c = jnp.maximum(d_lo - defl, 0.0)
-        ub_c = jnp.sum(d_hi * d_hi * pv)
-        lb_b = jnp.sum(lb_c * lb_c * pv)
-        prev = jnp.where(n == 0, jnp.zeros((1, 128), jnp.float32),
-                         out_ref[0, :, :])
-        # a node active at the last block was active at every block (once
-        # screened, lb_prev never changes again), so this acc is complete
-        out_ref[0, :, :] = prev + jnp.where(
-            col == 0, ub_c, jnp.where(col == 1, lb_b, 0.0)
-        )
-
-    @pl.when(jnp.logical_not(active) & last)
-    def _():
-        # screened earlier: finalize in place (ub sentinel, keep partial lb)
-        row = out_ref[0, :, :]
-        out_ref[0, :, :] = jnp.where(col == 0, 1e30, row)
+    out_ref[0, :, :] = jnp.where(col == 0, ub, jnp.where(col == 1, lb, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -469,14 +466,16 @@ def _bounds_padded(params, srcT, wm, *, interpret: bool):
     tm = _pick_tile(Mp, TM)
     nb = Np // tq
     out = pl.pallas_call(
-        functools.partial(_bounds_kernel, n_chunks=Mp // tm, tm=tm, nb=nb),
-        grid=(nb, B),
+        functools.partial(
+            _bounds_kernel, n_chunks=Mp // tm, tm=tm, tq=tq, nb=nb
+        ),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((B, 16), lambda n, b: (0, 0)),
-            pl.BlockSpec((8, tq), lambda n, b: (0, n)),
-            pl.BlockSpec((Mp, 8), lambda n, b: (0, 0)),
+            pl.BlockSpec((B, 16), lambda b: (0, 0)),
+            pl.BlockSpec((8, Np), lambda b: (0, 0)),
+            pl.BlockSpec((Mp, 8), lambda b: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 1, 128), lambda n, b: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.float32)],
         interpret=interpret,
     )(params, srcT, wm)[0]
@@ -484,90 +483,91 @@ def _bounds_padded(params, srcT, wm, *, interpret: bool):
 
 
 def _bounds_grouped_kernel(params_ref, src_ref, wm_ref, out_ref, *,
-                           n_chunks: int, tm: int, nb: int):
+                           n_chunks: int, tm: int, tq: int, nb: int):
     """Grouped (8 translation siblings / rotation) fused bounds with
-    GROUP-level screening: the block skips once every sibling's partial lb
-    crosses the threshold (the shared base plane makes per-sibling skipping
-    free-of-savings on the VPU).
+    GROUP-level in-program screening: the next point-block is skipped once
+    every sibling's carried partial lb crosses the threshold (per-sibling
+    masking would save nothing on the VPU — the shared base plane is the
+    cost).  Same one-program-per-group structure as ``_bounds_kernel``.
 
-    ``params`` row [64]: R×9, t8×24, |t_j|²×8, af, γt×8 (41-48), slack,
-    thresh.  ``out [G,128]``: cols 0-7 sibling ubs, 8-15 sibling lbs.
+    ``params`` row [64]: R×9, t8×24, |t_j|²×8, af, γt×8 (42-49), slack,
+    thresh.  ``out [G,1,128]``: cols 0-7 sibling ubs, 8-15 sibling lbs.
     """
-    n = pl.program_id(0)
-    g = pl.program_id(1)
+    g = pl.program_id(0)
     thresh = params_ref[g, 51]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    last = n == nb - 1
+    slack = params_ref[g, 50]
+    af = params_ref[g, 41]
 
-    # sibling lbs accumulated through block n−1 (cols 8-15 of the revisited
-    # output row; garbage at n == 0 where the predicate short-circuits)
-    min_lb = out_ref[0, 0, 8]
-    for j in range(9, 16):
-        min_lb = jnp.minimum(min_lb, out_ref[0, 0, j])
-    active = (n == 0) | (min_lb < thresh)
+    def block(n, carry):
+        def compute(c0):
+            ub0, lb0 = c0                                  # [1,8] rows
+            sl = pl.dslice(n * tq, tq)
+            px = src_ref[0:1, sl]
+            py = src_ref[1:2, sl]
+            pz = src_ref[2:3, sl]
+            pn = src_ref[3:4, sl]
+            pv = src_ref[4:5, sl]
+            ux = px * params_ref[g, 0] + py * params_ref[g, 1] \
+                + pz * params_ref[g, 2]
+            uy = px * params_ref[g, 3] + py * params_ref[g, 4] \
+                + pz * params_ref[g, 5]
+            uz = px * params_ref[g, 6] + py * params_ref[g, 7] \
+                + pz * params_ref[g, 8]
 
-    @pl.when(active)
-    def _():
-        px = src_ref[0:1, :]
-        py = src_ref[1:2, :]
-        pz = src_ref[2:3, :]
-        pn = src_ref[3:4, :]
-        pv = src_ref[4:5, :]
-        ux = px * params_ref[g, 0] + py * params_ref[g, 1] + pz * params_ref[g, 2]
-        uy = px * params_ref[g, 3] + py * params_ref[g, 4] + pz * params_ref[g, 5]
-        uz = px * params_ref[g, 6] + py * params_ref[g, 7] + pz * params_ref[g, 8]
+            def body(c, best):
+                w = wm_ref[pl.dslice(c * tm, tm), :]
+                wx = w[:, 0:1]
+                wy = w[:, 1:2]
+                wz = w[:, 2:3]
+                dx = wx - ux
+                dy = wy - uy
+                dz = wz - uz
+                Gp = dx * dx + dy * dy + dz * dz           # base plane, once
+                rows = []
+                for j in range(8):
+                    tx = params_ref[g, 9 + 3 * j]
+                    ty = params_ref[g, 10 + 3 * j]
+                    tz = params_ref[g, 11 + 3 * j]
+                    bj = params_ref[g, 33 + j] \
+                        - 2.0 * (tx * wx + ty * wy + tz * wz)
+                    rows.append(jnp.min(Gp + bj, axis=0, keepdims=True))
+                return jnp.minimum(best, jnp.concatenate(rows, axis=0))
 
-        def body(c, best):
-            w = wm_ref[pl.dslice(c * tm, tm), :]
-            wx = w[:, 0:1]
-            wy = w[:, 1:2]
-            wz = w[:, 2:3]
-            dx = wx - ux
-            dy = wy - uy
-            dz = wz - uz
-            Gp = dx * dx + dy * dy + dz * dz
-            rows = []
+            best = jax.lax.fori_loop(
+                0, n_chunks, body,
+                jnp.full((8, tq), jnp.inf, jnp.float32),
+            )
+            ubs, lbs = [], []
             for j in range(8):
                 tx = params_ref[g, 9 + 3 * j]
                 ty = params_ref[g, 10 + 3 * j]
                 tz = params_ref[g, 11 + 3 * j]
-                bj = params_ref[g, 33 + j] - 2.0 * (tx * wx + ty * wy + tz * wz)
-                rows.append(jnp.min(Gp + bj, axis=0, keepdims=True))
-            return jnp.minimum(best, jnp.concatenate(rows, axis=0))
+                aj = 2.0 * (tx * ux + ty * uy + tz * uz)
+                d2 = jnp.maximum(best[j : j + 1, :] + aj, 0.0)
+                d = jnp.sqrt(d2)
+                d_hi = d + slack
+                d_lo = jnp.maximum(d - slack, 0.0)
+                defl = af * pn + params_ref[g, 42 + j]
+                lb_c = jnp.maximum(d_lo - defl, 0.0)
+                ubs.append(jnp.sum(d_hi * d_hi * pv))
+                lbs.append(jnp.sum(lb_c * lb_c * pv))
+            return (ub0 + jnp.stack(ubs).reshape(1, 8),
+                    lb0 + jnp.stack(lbs).reshape(1, 8))
 
-        best = jax.lax.fori_loop(
-            0, n_chunks, body,
-            jnp.full((8, ux.shape[1]), jnp.inf, jnp.float32),
+        ub_acc, lb_acc = carry
+        return jax.lax.cond(
+            jnp.min(lb_acc) < thresh, compute, lambda c0: c0, carry
         )
-        slack = params_ref[g, 50]
-        af = params_ref[g, 41]
-        contrib = jnp.zeros((1, 128), jnp.float32)
-        for j in range(8):
-            tx = params_ref[g, 9 + 3 * j]
-            ty = params_ref[g, 10 + 3 * j]
-            tz = params_ref[g, 11 + 3 * j]
-            aj = 2.0 * (tx * ux + ty * uy + tz * uz)
-            d2 = jnp.maximum(best[j : j + 1, :] + aj, 0.0)
-            d = jnp.sqrt(d2)
-            d_hi = d + slack
-            d_lo = jnp.maximum(d - slack, 0.0)
-            defl = af * pn + params_ref[g, 42 + j]
-            lb_c = jnp.maximum(d_lo - defl, 0.0)
-            contrib = jnp.where(col == j, jnp.sum(d_hi * d_hi * pv), contrib)
-            contrib = jnp.where(
-                col == 8 + j, jnp.sum(lb_c * lb_c * pv), contrib
-            )
-        prev = jnp.where(n == 0, jnp.zeros((1, 128), jnp.float32),
-                         out_ref[0, :, :])
-        # a group active at the last block was active at every block, so
-        # this accumulation is complete — ubs are real sums
-        out_ref[0, :, :] = prev + contrib
 
-    @pl.when(jnp.logical_not(active) & last)
-    def _():
-        # group screened earlier: ub sentinels, keep the partial lbs
-        row = out_ref[0, :, :]
-        out_ref[0, :, :] = jnp.where(col < 8, 1e30, row)
+    zero = jnp.zeros((1, 8), jnp.float32)
+    ub, lb = jax.lax.fori_loop(0, nb, block, (zero, zero))
+    ub = jnp.where(jnp.min(lb) < thresh, ub, 1e30)  # group screened: sentinel
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.zeros((1, 128), jnp.float32)
+    for j in range(8):
+        row = jnp.where(col == j, ub[0, j], row)
+        row = jnp.where(col == 8 + j, lb[0, j], row)
+    out_ref[0, :, :] = row
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -579,15 +579,15 @@ def _bounds_grouped_padded(gparams, srcT, wm, *, interpret: bool):
     nb = Np // tq
     out = pl.pallas_call(
         functools.partial(
-            _bounds_grouped_kernel, n_chunks=Mp // tm, tm=tm, nb=nb
+            _bounds_grouped_kernel, n_chunks=Mp // tm, tm=tm, tq=tq, nb=nb
         ),
-        grid=(nb, G),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((G, 64), lambda n, g: (0, 0)),
-            pl.BlockSpec((8, tq), lambda n, g: (0, n)),
-            pl.BlockSpec((Mp, 8), lambda n, g: (0, 0)),
+            pl.BlockSpec((G, 64), lambda g: (0, 0)),
+            pl.BlockSpec((8, Np), lambda g: (0, 0)),
+            pl.BlockSpec((Mp, 8), lambda g: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 1, 128), lambda n, g: (g, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda g: (g, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
         interpret=interpret,
     )(gparams, srcT, wm)[0]
