@@ -676,6 +676,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                 "C": C,
                 "out": out,
                 "parents": (pay, pop_lb, pop_ub),
+                "grouped": B,
             }
 
         def _dispatch_sharded(R_c, ang_c, t_c, t_s, mask):
@@ -841,6 +842,13 @@ class GoIcpSolverSE3(GoIcpSolver):
                            (12, 1e30)):
                 m.count(f"lb_r_{lo}", int(((r >= lo) & (r < hi)).sum()))
             m.count("lb_r_alive", int((r < 1).sum()))
+            if work.get("grouped"):
+                # two-phase T-screen sizing: a group survives a subset
+                # screen of Ns=N/k points roughly when min_j lb_full < k·thr
+                gmin = lb_c.reshape(-1, 8).min(axis=1)
+                m.count("tgroups", gmin.shape[0])
+                m.count("tgroups_surv_quarter", int((gmin < 4 * thr).sum()))
+                m.count("tgroups_surv_half", int((gmin < 2 * thr).sum()))
 
             alive = lb_c < best_sse - self.sse_thresh
             if (alive & lf).any():
