@@ -276,23 +276,6 @@ def evaluate_se3_nodes_screened(
     return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
 
 
-@functools.partial(jax.jit, static_argnames=("h",))
-def evaluate_se3_groups_screened(
-    src, norms, tgt, slack, thresh, R, max_angle, t8, t_span8, mask, *, h: int,
-):
-    """Grouped (8 t-siblings / rotation) fused bounds with group-level
-    screening (``nn.mxu.bounds_groups``).  Untrimmed only."""
-    from goicp_tpu.nn import mxu as _mxu
-
-    af = 2.0 * jnp.sin(jnp.minimum(max_angle, jnp.pi) / 2.0)
-    gt8 = _SQRT3 * t_span8
-    srcT = _mxu.pack_sources_ext(src, norms)
-    wm = _mxu.pack_targets(tgt)
-    gparams = _mxu.pack_group_params_bounds(R, t8, af, gt8, slack, thresh)
-    ub, lb = _mxu.bounds_groups(srcT, wm, gparams)
-    return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(

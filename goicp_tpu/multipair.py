@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from goicp_tpu.bnb import BnbParams, GoIcpResult, make_solver
+from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.icp import IcpParams, run_icp
 from goicp_tpu.nn.brute import nearest_neighbor
@@ -333,7 +334,7 @@ def _register_pairs_lockstep(
                 icp_iters=0,
                 rounds=rounds,
                 wall_s=wall,
-                metrics=None,
+                metrics=Metrics(),
             )
         )
     return results
