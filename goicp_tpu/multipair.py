@@ -86,6 +86,7 @@ def register_pairs(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     params: BnbParams = BnbParams(),
     batched: bool = True,
+    mesh=None,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair.
 
@@ -93,10 +94,13 @@ def register_pairs(
     device dispatch per round advances all pairs at once (``_pairs_round`` —
     a ``vmap`` over the pair axis of the bound evaluation + batched ICP
     refinement).  This is the pod-scale serving shape: P pairs × M nodes ×
-    N points per dispatch, with the pair axis equally shardable over a
-    device mesh.  Falls back to the serial per-pair loop for configurations
-    the lockstep driver does not cover (trimming, quaternion cubes, grid
-    bounds for huge targets).
+    N points per dispatch.  Pass a ``jax.sharding.Mesh`` (any single named
+    axis, e.g. ``Mesh(jax.devices(), ("pairs",))``) to shard the pair axis
+    across a pod slice — every per-pair array is placed with the leading
+    axis partitioned and XLA runs each pair's bounds + refinement on its
+    own devices with no cross-pair communication.  Falls back to the serial
+    per-pair loop for configurations the lockstep driver does not cover
+    (trimming, quaternion cubes, grid bounds for huge targets).
     """
     p = params
     lockstep_ok = (
@@ -108,7 +112,7 @@ def register_pairs(
         and max(s.shape[0] for s, _ in pairs) <= p.bound_points
     )
     if lockstep_ok:
-        return _register_pairs_lockstep(pairs, p)
+        return _register_pairs_lockstep(pairs, p, mesh=mesh)
     return [make_solver(s, t, params).run() for s, t in pairs]
 
 
@@ -186,7 +190,7 @@ def _pairs_round(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, *,
 
 
 def _register_pairs_lockstep(
-    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], p: BnbParams
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], p: BnbParams, mesh=None
 ) -> List[GoIcpResult]:
     import time
 
@@ -208,14 +212,40 @@ def _register_pairs_lockstep(
     h = np.array([s.shape[0] for s, _ in pairs], np.float64)
     sse_thresh = p.mse_threshold * h
 
-    # batched initial ICP (≙ fgoicp.cpp:11-12, every pair in one dispatch)
+    # batched MULTI-START initial ICP: every (pair × seed) refines in one
+    # dispatch (the lockstep form of GoIcpSolver._initial_icp; ≙ the single
+    # identity start of fgoicp.cpp:11-18).  One step usually lands each
+    # pair in its global basin, which the BnB then certifies.
     icp_params = IcpParams(
         max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol, trim_fraction=0.0
     )
-    T0, sse0, _ = icp_pairs(pairs, params=icp_params)
-    best_R = np.array(T0.R)
-    best_t = np.array(T0.t)
-    best_sse = np.asarray(sse0, np.float64).copy()
+    K = max(1, min(p.init_multistart, 32))
+    srng = np.random.default_rng(12345)
+    A = srng.normal(size=(K - 1, 3, 3))
+    Q, Rr = np.linalg.qr(A)
+    Q = Q * np.sign(np.einsum("bii->bi", Rr))[:, None, :]
+    Q[np.linalg.det(Q) < 0, :, 0] *= -1.0
+    seeds = np.concatenate(
+        [np.eye(3, dtype=np.float32)[None], Q.astype(np.float32)]
+    )                                                      # [K,3,3]
+    rep_pairs = [pairs[b] for b in range(P) for _ in range(K)]
+    R0 = np.tile(seeds, (P, 1, 1))                         # [P·K,3,3]
+    t0 = np.zeros((P * K, 3), np.float32)
+    for b, (s, t) in enumerate(pairs):
+        mu_s, mu_t = s.mean(0), t.mean(0)
+        t0[b * K : (b + 1) * K] = mu_t[None] - np.einsum(
+            "bij,j->bi", R0[b * K : (b + 1) * K], mu_s
+        )
+        t0[b * K] = 0.0       # keep the reference's identity start exact
+    T0, sse0, _ = icp_pairs(
+        rep_pairs, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
+        params=icp_params,
+    )
+    sse0 = np.asarray(sse0, np.float64).reshape(P, K)
+    jbest = np.argmin(sse0, axis=1)
+    best_R = np.array(T0.R).reshape(P, K, 3, 3)[np.arange(P), jbest]
+    best_t = np.array(T0.t).reshape(P, K, 3)[np.arange(P), jbest]
+    best_sse = sse0[np.arange(P), jbest].copy()
 
     rotparam = AxisAngleParam
     root_rspan = rotparam.root_span
@@ -244,9 +274,22 @@ def _register_pairs_lockstep(
     converged = best_sse <= sse_thresh
     rounds = 0
     nodes = 0
-    srcs_d, wts_d, norms_d, tgts_d = map(
-        jnp.asarray, (srcs, wts, norms, tgts)
-    )
+    if mesh is not None:
+        # shard the pair axis over the mesh's (single) named axis: each
+        # device group owns P/n_devices pairs end-to-end — the vmapped
+        # round has no cross-pair data flow, so XLA partitions it without
+        # collectives (the pod-slice serving layout)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        assert P % mesh.devices.size == 0, (
+            f"pair count {P} must divide over {mesh.devices.size} devices"
+        )
+        _shard = NamedSharding(mesh, PartitionSpec(axis))
+        place = lambda a: jax.device_put(jnp.asarray(a), _shard)
+    else:
+        place = jnp.asarray
+    srcs_d, wts_d, norms_d, tgts_d = map(place, (srcs, wts, norms, tgts))
 
     while True:
         active = [
@@ -290,8 +333,8 @@ def _register_pairs_lockstep(
 
         out = _pairs_round(
             srcs_d, wts_d, norms_d, tgts_d, jnp.float32(0.0),
-            jnp.asarray(R_all), jnp.asarray(ang_all), jnp.asarray(t_all),
-            jnp.asarray(ts_all), jnp.asarray(mask_all),
+            place(R_all), place(ang_all), place(t_all),
+            place(ts_all), place(mask_all),
             refine_k=p.refine_top_k, icp_params=icp_params,
         )
         ub, lb, R_ref, t_ref, sse_ref, _ = map(np.asarray, jax.device_get(out))

@@ -79,3 +79,36 @@ def test_register_pairs_global(rng):
         pts = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
         rmse = float(np.sqrt(np.mean(np.sum((pts - t) ** 2, axis=1))))
         assert rmse < 2e-3
+
+
+def test_register_pairs_mesh_sharded(rng):
+    """Lockstep multipair with the pair axis sharded over a device mesh —
+    the north-star 'batched multi-pair across a pod slice' scenario on the
+    virtual CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = Mesh(np.array(devs[:4]), ("pairs",))
+
+    from goicp_tpu.multipair import register_pairs as rp
+
+    pairs = []
+    for i in range(4):
+        src = (rng.random((100, 3)).astype(np.float32) - 0.5) * 0.6
+        R = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+        pairs.append((src, (src @ R.T + t).astype(np.float32)))
+
+    results = rp(
+        pairs,
+        BnbParams(mse_threshold=1e-4, se3_pop=32, max_rounds=40),
+        mesh=mesh,
+    )
+    assert len(results) == 4
+    for (s, t), res in zip(pairs, results):
+        pts = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        rmse = float(np.sqrt(np.mean(np.sum((pts - t) ** 2, axis=1))))
+        assert rmse < 5e-3, rmse
