@@ -15,7 +15,6 @@ is to batch them:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -27,14 +26,6 @@ from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.icp import IcpParams, run_icp
 from goicp_tpu.nn.brute import nearest_neighbor
-
-
-def _pad_cloud(pts, n: int, sentinel: float):
-    k = pts.shape[0]
-    if k >= n:
-        return np.asarray(pts[:n], np.float32), k >= n
-    pad = np.full((n - k, 3), sentinel, np.float32)
-    return np.concatenate([np.asarray(pts, np.float32), pad]), False
 
 
 def icp_pairs(

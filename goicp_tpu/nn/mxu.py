@@ -89,9 +89,9 @@ def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
     qz = px * params_ref[b, 6] + py * params_ref[b, 7] + pz * params_ref[b, 8] \
         + params_ref[b, 11]
     qn = qx * qx + qy * qy + qz * qz
-    one = jnp.ones_like(qx)
-    zero = jnp.zeros_like(qx)
     if variant == "dot":
+        one = jnp.ones_like(qx)
+        zero = jnp.zeros_like(qx)
         qp = jnp.concatenate(
             [-2.0 * qx, -2.0 * qy, -2.0 * qz, qn, one, zero, zero, zero],
             axis=0,
