@@ -93,6 +93,17 @@ def main():
         0.0,
         seed=3,
     )
+    # dragon: the reference ships the Stanford dragon scans but never uses
+    # them (no test/*.toml references data/dragon) — a 6th scenario with
+    # exact ground truth extends the coverage matrix
+    make(
+        "rotated_dragon.ply",
+        "dragon/dragonClearSpace2_0.ply",
+        rot_xyz(*rng.uniform(0, 2 * np.pi, 3)),
+        np.array([0.05, -0.04, 0.06], np.float32),
+        0.0,
+        seed=5,
+    )
 
 
 if __name__ == "__main__":
