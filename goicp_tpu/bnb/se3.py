@@ -520,6 +520,21 @@ class GoIcpSolverSE3(GoIcpSolver):
                 "SE(3) rounds on a %dx%d (cubes x points) device mesh", n_c, n_p
             )
 
+        # center-aware rotation-cube angle bound, computed on device and
+        # chained (async) into the round dispatch — strictly tighter than
+        # the host √3·σ chordal form off-origin, so the certification tree
+        # shrinks.  Mesh rounds keep host angles (numpy padding/repeat on a
+        # device array would force a sync pull).
+        tight_ang = None
+        if (
+            p.tight_rot_bound
+            and p.rotation_param == "axis_angle"
+            and sharded_round is None
+        ):
+            from goicp_tpu.geo.rotation import axis_angle_cube_max_angle
+
+            tight_ang = jax.jit(axis_angle_cube_max_angle)
+
         # resume from a frontier snapshot (restart-based recovery; the BnB
         # state is exactly {frontier, incumbent, counters} — SURVEY §5)
         import os
@@ -627,6 +642,16 @@ class GoIcpSolverSE3(GoIcpSolver):
                     mask,
                 )
             else:
+                ang_in = (
+                    tight_ang(
+                        np.concatenate(
+                            [pay[:, 0:3], np.zeros((padg, 3), np.float32)]
+                        ),
+                        np.concatenate([pay[:, 3], np.zeros(padg, np.float32)]),
+                    )
+                    if tight_ang is not None
+                    else jnp.asarray(ang_pad)
+                )
                 out = se3_round_grouped(
                     self._src_dev,
                     self.ev.norms,
@@ -639,7 +664,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                     ),
                     jnp.float32(best_sse - self.sse_thresh),
                     jnp.asarray(R_pad),
-                    jnp.asarray(ang_pad),
+                    ang_in,
                     jnp.asarray(t8_pad),
                     jnp.asarray(ts8_pad),
                     jnp.asarray(mask),
@@ -660,6 +685,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                 "out": out,
                 "parents": (pay, pop_lb, pop_ub),
                 "grouped": B,
+                "t0": time.perf_counter(),
             }
 
         def _dispatch_sharded(R_c, ang_c, t_c, t_s, mask):
@@ -746,6 +772,16 @@ class GoIcpSolverSE3(GoIcpSolver):
                     "out": out,
                     "parents": (pay, pop_lb, pop_ub),
                 }
+            ang_in = (
+                tight_ang(
+                    np.concatenate(
+                        [child[:, 0:3], np.zeros((padn, 3), np.float32)]
+                    ),
+                    np.concatenate([child[:, 3], np.zeros(padn, np.float32)]),
+                )
+                if tight_ang is not None
+                else jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)]))
+            )
             out = se3_round(
                 self._src_dev,
                 self.ev.norms,
@@ -762,7 +798,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                         [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
                     )
                 ),
-                jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)])),
+                ang_in,
                 jnp.asarray(
                     np.concatenate([child[:, 4:7], np.zeros((padn, 3), np.float32)])
                 ),
@@ -784,6 +820,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                 "C": C,
                 "out": out,
                 "parents": (pay, pop_lb, pop_ub),
+                "t0": time.perf_counter(),
             }
 
         def frontier_min_lb():
@@ -794,6 +831,11 @@ class GoIcpSolverSE3(GoIcpSolver):
             nonlocal best_R, best_t, best_sse, leaf_lb, converged
             child, lf, R_c, C = work["child"], work["lf"], work["R_c"], work["C"]
             ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = jax.device_get(work["out"])
+            # dispatch→fetch latency per round kind (true per-kind device wall
+            # at pipeline_depth=1; overlapped and so only indicative deeper)
+            m.timers["round_T_s" if work.get("grouped") else "round_R_s"] += (
+                time.perf_counter() - work["t0"]
+            )
             ub_c, lb_c = ub_d[:C], lb_d[:C]
             m.count("icp_iters", int(it_ref.sum()))
 

@@ -152,6 +152,11 @@ class AxisAngleParam:
 
     @staticmethod
     def max_angle(centers, spans):
+        """jly chordal bound ``min(√3·σ, π)`` (``jly_goicp.cpp:153-157``).
+        The SE(3) engine replaces this per-dispatch with the center-aware
+        device bound ``geo.rotation.axis_angle_cube_max_angle`` (strictly
+        tighter off-origin); this host form serves the nested engine and
+        split classification."""
         s = np.asarray(spans, np.float32)
         return np.minimum(_SQRT3 * s, np.pi).astype(np.float32)
 
@@ -285,6 +290,14 @@ class BnbParams:
                                      # its partial lb crosses best−ε (valid:
                                      # partial sums of nonneg terms are lbs;
                                      # ≙ jly's lb-prune, jly_goicp.cpp:554)
+    tight_rot_bound: bool = True     # SE(3) engine, axis-angle: use the
+                                     # center-aware cube angle bound
+                                     # (geo.rotation.axis_angle_cube_max_angle,
+                                     # strictly tighter than jly's √3·σ off-
+                                     # origin → smaller certification tree);
+                                     # computed on device, chained into the
+                                     # round dispatch.  Mesh-sharded rounds
+                                     # keep the host √3·σ form (both valid)
     split_beta: float = 1.0          # split-rule bias: r-split only when
                                      # rot radius >= beta * trans radius;
                                      # >1 favors t-splits (grouped kernel

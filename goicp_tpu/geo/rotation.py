@@ -138,6 +138,93 @@ def axis_angle_max_angle(span):
     return jnp.minimum(_SQRT3 * span, jnp.pi)
 
 
+def axis_angle_cube_max_angle(centers, spans, *, k_outer: int = 40,
+                              k_side: int = 12):
+    """Center-aware upper bound on the angle between ``exp(c)`` and ``exp(v)``
+    over the axis-angle cube ``c ± s`` — strictly tighter than jly's chordal
+    ``√3·σ`` table (``jly_goicp.cpp:153-159``) away from the origin.
+
+    Derivation.  The exact relative angle is ``θ = 2·arccos|⟨q_c, q_v⟩|``
+    with ``q_v = (cos(‖v‖/2), sin(‖v‖/2)·v̂)``; the dot depends on ``v`` only
+    through the radial coordinate ``u = v·ĉ`` and the tangential distance
+    ``p = ‖v − u·ĉ‖``, so the whole cube maps into a region ON the great
+    2-sphere spanned by ``(1,0), (0,ĉ), (0,ê)``:
+
+        ⟨q_c,q_v⟩ = cos(a/2)cos(b/2) + sin(a/2)sin(b/2)·u/b,  b = √(u²+p²)
+
+    The exponential map contracts tangentially by ``2·sin(a/2)/a`` (→ 2/π at
+    the π-shell), which the chordal bound ignores.  The cube's (u,p) image is
+    contained in F' = { |u−a| ≤ s‖ĉ‖₁,  p ≤ min(√(3s²−(u−a)²), p_box) } with
+    ``p_box`` the box's exact max tangential extent (corner enumeration).
+    For ``u > 0`` the (u,p) ↦ (colatitude b/2, longitude) chart is a diffeo
+    onto its image, and θ (twice the S² distance to {±q_c}) has no interior
+    maxima below π — so ``max_F' θ`` is attained on ∂F', sampled here at
+    ``k_outer`` points of the outer curve and ``k_side`` per vertical side,
+    plus the exact Lipschitz slack (the map is ½-Lipschitz: θ moves at most
+    the plane covering radius).  A θ=π equator crossing always reaches the
+    sampled boundary (f cannot vanish on the p=0 edge for |u−a| < π).
+
+    Falls back to ``min(√3·s, π)`` when the region touches the origin or the
+    colatitude could wrap (both bounds are valid everywhere; the min is
+    taken regardless).  Inputs ``centers [M,3]``, ``spans [M]`` → ``[M]``.
+    """
+    c = jnp.asarray(centers, jnp.float32)
+    s = jnp.asarray(spans, jnp.float32)
+    yang = jnp.minimum(_SQRT3 * s, jnp.pi)
+
+    a = jnp.sqrt(jnp.sum(c * c, axis=-1))                  # [M]
+    safe_a = jnp.maximum(a, 1e-12)
+    l1 = jnp.sum(jnp.abs(c), axis=-1)
+    h1s = s * l1 / safe_a                                  # radial half-extent
+    # exact max tangential extent of the box: corners extremize ‖δ_perp‖² =
+    # 3s² − (δ·ĉ)², so take the sign pattern minimizing |±c₁±c₂±c₃|
+    c1, c2, c3 = jnp.abs(c[..., 0]), jnp.abs(c[..., 1]), jnp.abs(c[..., 2])
+    m = jnp.minimum(
+        jnp.minimum(jnp.abs(c1 + c2 + c3), jnp.abs(c1 + c2 - c3)),
+        jnp.minimum(jnp.abs(c1 - c2 + c3), jnp.abs(c1 - c2 - c3)),
+    ) / safe_a
+    p_box = s * jnp.sqrt(jnp.maximum(3.0 - m * m, 0.0))
+
+    # boundary samples in the (u_off = u−a, p) half-plane
+    frac = jnp.linspace(-1.0, 1.0, k_outer)
+    uo_o = h1s[:, None] * frac[None, :]                    # [M,Ko] outer curve
+    po_o = jnp.minimum(
+        jnp.sqrt(jnp.maximum(3.0 * (s * s)[:, None] - uo_o * uo_o, 0.0)),
+        p_box[:, None],
+    )
+    fs = jnp.linspace(0.0, 1.0, k_side)
+    p_end = jnp.minimum(
+        jnp.sqrt(jnp.maximum(3.0 * s * s - h1s * h1s, 0.0)), p_box
+    )
+    uo_s = jnp.concatenate(
+        [jnp.broadcast_to(-h1s[:, None], (h1s.shape[0], k_side)),
+         jnp.broadcast_to(h1s[:, None], (h1s.shape[0], k_side))], axis=1
+    )
+    po_s = jnp.concatenate([p_end[:, None] * fs[None, :]] * 2, axis=1)
+    uo = jnp.concatenate([uo_o, uo_s], axis=1)             # [M,K]
+    po = jnp.concatenate([po_o, po_s], axis=1)
+
+    u = a[:, None] + uo
+    b = jnp.sqrt(jnp.maximum(u * u + po * po, 1e-30))
+    t = u / b
+    ha = (a / 2.0)[:, None]
+    f = jnp.cos(ha) * jnp.cos(b / 2.0) + jnp.sin(ha) * jnp.sin(b / 2.0) * t
+    theta = 2.0 * jnp.arccos(jnp.clip(jnp.abs(f), 0.0, 1.0))
+
+    # Lipschitz slack: covering radius of the samples along each piece, ×1
+    # (plane→θ amplification is 2 × the ½-Lipschitz chart = 1)
+    d_out = jnp.sqrt(
+        jnp.diff(uo_o, axis=1) ** 2 + jnp.diff(po_o, axis=1) ** 2
+    )
+    gap = jnp.maximum(jnp.max(d_out, axis=1), p_end / (k_side - 1))
+    tight = jnp.max(theta, axis=1) + 0.5 * gap
+
+    # region must exclude the origin (chart fold) and the colatitude must
+    # not wrap past the antipode
+    ok = (a - h1s > 1e-6) & (a + _SQRT3 * s < 2.0 * jnp.pi - 1e-3)
+    return jnp.where(ok, jnp.minimum(tight, yang), yang)
+
+
 def rotation_displacement(max_angle, norms):
     """Per-point rotation uncertainty radius ``[B,N]``.
 

@@ -101,6 +101,40 @@ def test_axis_angle_max_angle_is_sound(rng):
             assert angle <= bound + 1e-5
 
 
+def test_axis_angle_cube_max_angle_is_sound_and_tighter():
+    """The center-aware cube angle bound (boundary-sampled quaternion-dot,
+    geo.rotation.axis_angle_cube_max_angle) must dominate the true relative
+    angle for any cube member, never exceed the jly chordal √3·span bound,
+    and actually engage (be strictly tighter) off the origin."""
+    from goicp_tpu.geo.rotation import axis_angle_cube_max_angle
+
+    rng = np.random.default_rng(99)
+    cs, ss = [], []
+    for _ in range(120):
+        # bias centers toward the outer shell, where the tightening matters
+        c = rng.uniform(-1, 1, size=3)
+        c *= rng.uniform(0.0, np.pi) / max(np.linalg.norm(c), 1e-9)
+        cs.append(c)
+        ss.append(rng.uniform(0.005, 0.8))
+    cs = np.asarray(cs, np.float32)
+    ss = np.asarray(ss, np.float32)
+    bounds = np.asarray(axis_angle_cube_max_angle(cs, ss))
+
+    tighter = 0
+    for c, span, bound in zip(cs, ss, bounds):
+        yang = min(np.sqrt(3.0) * span, np.pi)
+        assert bound <= yang + 1e-5
+        if bound < yang - 1e-3:
+            tighter += 1
+        Rc = ScipyRot.from_rotvec(c).as_matrix()
+        for _ in range(40):
+            v = c + rng.uniform(-span, span, size=3)
+            Rv = ScipyRot.from_rotvec(v).as_matrix()
+            angle = np.arccos(np.clip((np.trace(Rc.T @ Rv) - 1) / 2, -1, 1))
+            assert angle <= bound + 1e-4, (angle, bound, c, span)
+    assert tighter > 20  # the tightening actually engages off-origin
+
+
 def test_rotation_displacement_formula():
     angles = jnp.asarray([np.pi / 3, 5.0])  # second gets clamped to pi
     norms = jnp.asarray([1.0, 2.0])
