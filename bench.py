@@ -37,6 +37,8 @@ SCENARIOS = [
     "skull_goicp.toml",
     "face_goicp.toml",
     "spanner_goicp.toml",
+    "dragon_goicp.toml",   # repo extra: 6th scene w/ exact GT (the reference
+                           # ships data/dragon but no scenario uses it)
 ]
 
 

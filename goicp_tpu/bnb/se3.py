@@ -264,15 +264,29 @@ def evaluate_se3_nodes_screened(
 ):
     """Fused-epilogue bound evaluation with PROGRESSIVE SCREENING
     (``nn.mxu.bounds_nodes``): partial lower-bound sums prune most nodes
-    after a fraction of the cloud (see the kernel docs).  Untrimmed only."""
+    after a fraction of the cloud (see the kernel docs).  Trimmed nodes
+    (``0 < h < N``) route to the clamped-sum screened kernel
+    (``nn.mxu.bounds_nodes_trimmed``), whose survivors get exact
+    bisection-trimmed sums in-kernel."""
     from goicp_tpu.nn import mxu as _mxu
 
+    N = src.shape[0]
+    drop = 0 if h in (0, N) else N - h
     af = 2.0 * jnp.sin(jnp.minimum(max_angle, jnp.pi) / 2.0)
     gt = _SQRT3 * t_span
     srcT = _mxu.pack_sources_ext(src, norms)
     wm = _mxu.pack_targets(tgt)
-    params = _mxu.pack_params_bounds(R, t_c, af, gt, slack, thresh)
-    ub, lb = _mxu.bounds_nodes(srcT, wm, params)
+    if drop:
+        # clamp level τ: sized so a fully-clamped prefix can cross the
+        # screen threshold after ~h/2 + drop points (see the kernel lemma)
+        tau = 2.0 * jnp.maximum(thresh, 0.0) / h
+        params = _mxu.pack_params_bounds_trimmed(
+            R, t_c, af, gt, slack, thresh + drop * tau, tau
+        )
+        ub, lb = _mxu.bounds_nodes_trimmed(srcT, wm, params, h=h, drop=drop)
+    else:
+        params = _mxu.pack_params_bounds(R, t_c, af, gt, slack, thresh)
+        ub, lb = _mxu.bounds_nodes(srcT, wm, params)
     return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
 
 
@@ -771,6 +785,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                     "C": C,
                     "out": out,
                     "parents": (pay, pop_lb, pop_ub),
+                    "t0": time.perf_counter(),
                 }
             ang_in = (
                 tight_ang(

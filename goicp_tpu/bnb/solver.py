@@ -384,7 +384,13 @@ class GoIcpSolver:
         else:
             self._backend = params.bound_backend
         # progressive-screening kernel: fused epilogue + partial-lb early
-        # exit (nn.mxu.bounds_nodes) — untrimmed single-chip solves only
+        # exit (nn.mxu.bounds_nodes) — untrimmed single-chip solves only.
+        # Trimmed solves stay on the unfused kernel: the clamped-sum screened
+        # variant (nn.mxu.bounds_nodes_trimmed) is measured ~25% SLOWER on a
+        # trimmed-hard certification (bunny@0.05, trim 0.1, mse 5e-4:
+        # 301-304 s vs 234-245 s) — the predicated block loop's rate loss is
+        # not paid back because trimmed lower bounds are flatter, so the
+        # screen rarely fires.  Forcing bound_backend="screen" opts in.
         if (
             self._backend == "mxu"
             and params.screen

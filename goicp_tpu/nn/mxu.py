@@ -612,6 +612,161 @@ def pack_sources_ext(src, norms) -> jnp.ndarray:
     )
 
 
+def _bounds_trimmed_kernel(params_ref, src_ref, wm_ref, out_ref, scr_ref, *,
+                           n_chunks: int, tm: int, tq: int, nb: int,
+                           h: int, drop: int):
+    """Screened fused bounds with TRIMMING (one program per node).
+
+    Screening uses the clamped partial sum: with ``l̃ᵢ = min(lᵢ, τ)``,
+
+        trimmed_h(l) ≥ Σ_{i∈S} l̃ᵢ − (N−h)·τ          (any processed S, τ>0)
+
+    because the h kept terms include all but ≤ N−h of S, each clamped term
+    ≤ τ.  The kernel carries ``Σ l̃`` and skips remaining blocks once it
+    crosses ``thresh' = thresh + (N−h)·τ`` (params slot 15); a screened node
+    reports lb = Σl̃ − (N−h)·τ ≥ thresh — prunable, exactly like the
+    untrimmed screen.  Unscreened nodes get EXACT trimmed sums: per-point
+    contributions are staged in a VMEM scratch and reduced by the same
+    threshold-bisection as ``bnb.se3._trimmed_sum_bisect`` (lower end for
+    lb, upper end for ub — bound directions preserved).
+
+    ``params`` row [24]: R×9, t×3, af, γt, slack, thresh', τ, pad.
+    ``src`` rows: x, y, z, ‖p‖, valid.  ``out [B,1,128]`` cols: 0 ub, 1 lb.
+    """
+    b = pl.program_id(0)
+    thresh_eff = params_ref[b, 15]
+    slack = params_ref[b, 14]
+    tau = params_ref[b, 16]
+
+    def block(n, carry):
+        def compute(acc0):
+            sl = pl.dslice(n * tq, tq)
+            px = src_ref[0:1, sl]
+            py = src_ref[1:2, sl]
+            pz = src_ref[2:3, sl]
+            pn = src_ref[3:4, sl]
+            pv = src_ref[4:5, sl]
+            qx = px * params_ref[b, 0] + py * params_ref[b, 1] \
+                + pz * params_ref[b, 2] + params_ref[b, 9]
+            qy = px * params_ref[b, 3] + py * params_ref[b, 4] \
+                + pz * params_ref[b, 5] + params_ref[b, 10]
+            qz = px * params_ref[b, 6] + py * params_ref[b, 7] \
+                + pz * params_ref[b, 8] + params_ref[b, 11]
+
+            def body(c, best):
+                w = wm_ref[pl.dslice(c * tm, tm), :]
+                dx = w[:, 0:1] - qx
+                dy = w[:, 1:2] - qy
+                dz = w[:, 2:3] - qz
+                d2 = dx * dx + dy * dy + dz * dz
+                return jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
+
+            best = jax.lax.fori_loop(
+                0, n_chunks, body,
+                jnp.full((1, tq), jnp.inf, jnp.float32),
+            )
+            d = jnp.sqrt(jnp.maximum(best, 0.0))
+            d_hi = d + slack
+            d_lo = jnp.maximum(d - slack, 0.0)
+            defl = params_ref[b, 12] * pn + params_ref[b, 13]
+            lb_c = jnp.maximum(d_lo - defl, 0.0) ** 2
+            ub_c = d_hi * d_hi
+            # pad sentinels keep invalid lanes out of the trimmed inlier set
+            scr_ref[0:1, sl] = ub_c * pv + (1.0 - pv) * 1e30
+            scr_ref[1:2, sl] = lb_c * pv + (1.0 - pv) * 1e30
+            return acc0 + jnp.sum(jnp.minimum(lb_c, tau) * pv)
+
+        return jax.lax.cond(carry < thresh_eff, compute, lambda a: a, carry)
+
+    acc = jax.lax.fori_loop(0, nb, block, jnp.float32(0.0))
+    screened = acc >= thresh_eff
+
+    # exact trimmed sums over the staged contributions (24-step threshold
+    # bisection ≙ bnb.se3._trimmed_sum_bisect; runs only on survivors'
+    # complete scratch — screened nodes take the clamped-bound branch)
+    x = scr_ref[:, :]                                      # [2, Np]
+    rowmax = jnp.max(jnp.where(x < 1e29, x, 0.0), axis=-1, keepdims=True)
+    lo0 = jnp.zeros_like(rowmax)
+    hi0 = rowmax + 1e-12
+
+    def bisect(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x <= mid).astype(jnp.float32), axis=-1, keepdims=True)
+        take = cnt >= h
+        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 24, bisect, (lo0, hi0))
+    sel = x <= lo
+    S = jnp.sum(jnp.where(sel, x, 0.0), axis=-1, keepdims=True)
+    C = jnp.sum(sel.astype(jnp.float32), axis=-1, keepdims=True)
+    rem = jnp.maximum(h - C, 0.0)
+    ub_exact = S[0, 0] + rem[0, 0] * hi[0, 0]              # upper end
+    lb_exact = S[1, 0] + rem[1, 0] * lo[1, 0]              # lower end
+
+    ub = jnp.where(screened, 1e30, ub_exact)
+    lb = jnp.where(screened, acc - drop * tau, lb_exact)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out_ref[0, :, :] = jnp.where(col == 0, ub, jnp.where(col == 1, lb, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "drop", "interpret"))
+def _bounds_trimmed_padded(params, srcT, wm, *, h: int, drop: int,
+                           interpret: bool):
+    B = params.shape[0]
+    Np, Mp = srcT.shape[1], wm.shape[0]
+    tq = _pick_tile(Np, TQB)
+    tm = _pick_tile(Mp, TM)
+    nb = Np // tq
+    out = pl.pallas_call(
+        functools.partial(
+            _bounds_trimmed_kernel, n_chunks=Mp // tm, tm=tm, tq=tq, nb=nb,
+            h=h, drop=drop,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B, 24), lambda b: (0, 0)),
+            pl.BlockSpec((8, Np), lambda b: (0, 0)),
+            pl.BlockSpec((Mp, 8), lambda b: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, Np), jnp.float32)],
+        interpret=interpret,
+    )(params, srcT, wm)[0]
+    return out[:, 0, 0], out[:, 0, 1]                      # ub, lb
+
+
+def pack_params_bounds_trimmed(R, t, af, gt, slack, thresh_eff,
+                               tau) -> jnp.ndarray:
+    """``[B,24]`` rows (R×9, t×3, af, γt, slack, thresh', τ, pad)."""
+    R = jnp.asarray(R, jnp.float32)
+    B = R.shape[0]
+    return jnp.concatenate(
+        [
+            R.reshape(B, 9),
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(af, jnp.float32)[:, None],
+            jnp.asarray(gt, jnp.float32)[:, None],
+            jnp.broadcast_to(jnp.float32(slack), (B,))[:, None],
+            jnp.broadcast_to(jnp.asarray(thresh_eff, jnp.float32), (B,))[:, None],
+            jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (B,))[:, None],
+            jnp.zeros((B, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def bounds_nodes_trimmed(srcT_ext, wm, params, *, h: int, drop: int,
+                         interpret=None):
+    """Fused screened TRIMMED bounds for singleton nodes: ``(ub, lb) [B]``."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _bounds_trimmed_padded(
+        params, srcT_ext, wm, h=h, drop=drop, interpret=interpret
+    )
+
+
 def pack_params_bounds(R, t, af, gt, slack, thresh) -> jnp.ndarray:
     """``[B,16]`` rows (R×9, t×3, af, γt, slack, thresh)."""
     R = jnp.asarray(R, jnp.float32)

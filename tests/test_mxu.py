@@ -174,6 +174,103 @@ def test_bounds_nodes_screening_is_valid(rng):
     assert ub[0] < 1e29          # the near node was fully evaluated
 
 
+def _oracle_bounds_trimmed(src, tgt, R, t, af, gt, h, slack=0.0):
+    """Trimmed Yang bounds: sums of the h smallest per-point contributions."""
+    d2, _ = _oracle_d2(src, tgt, R, t)
+    d = np.sqrt(d2)
+    norms = np.linalg.norm(src, axis=1)
+    ub_c = np.sort((d + slack) ** 2, axis=-1)[:, :h].sum(-1)
+    lb_all = (
+        np.maximum(np.maximum(d - slack, 0.0) - (af[:, None] * norms + gt[:, None]), 0.0)
+        ** 2
+    )
+    lb_c = np.sort(lb_all, axis=-1)[:, :h].sum(-1)
+    return ub_c, lb_c
+
+
+def test_bounds_nodes_trimmed_unscreened_matches_oracle(rng):
+    src, tgt, R, t = _scene(rng, b=6)
+    h = int(src.shape[0] * 0.85)
+    drop = src.shape[0] - h
+    af = rng.random(6).astype(np.float32) * 0.3
+    gt = rng.random(6).astype(np.float32) * 0.1
+    ub_ref, lb_ref = _oracle_bounds_trimmed(src, tgt, R, t, af, gt, h)
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    params = mxu.pack_params_bounds_trimmed(R, t, af, gt, 0.0, 1e30, 1e30)
+    ub, lb = map(
+        np.asarray,
+        mxu.bounds_nodes_trimmed(srcT, wm, params, h=h, drop=drop,
+                                 interpret=True),
+    )
+    # bisection sums bracket the exact trimmed sums from the right sides
+    assert (ub >= ub_ref - 1e-4).all(), (ub - ub_ref).min()
+    assert (lb <= lb_ref + 1e-4).all(), (lb - lb_ref).max()
+    assert np.allclose(ub, ub_ref, rtol=1e-3, atol=1e-3)
+    assert np.allclose(lb, lb_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_bounds_nodes_trimmed_screening_is_valid(rng):
+    """Screened trimmed nodes report the clamped-sum bound: ≥ thresh (so the
+    engine prunes them) AND ≤ the exact trimmed lb (so pruning is sound)."""
+    src, tgt, R, t = _scene(rng, n=512, b=8)
+    t = t + np.float32([2.0, 0, 0])
+    t[0] = 0.0
+    h = int(src.shape[0] * 0.9)
+    drop = src.shape[0] - h
+    af = np.full(8, 0.05, np.float32)
+    gt = np.full(8, 0.02, np.float32)
+    ub_ref, lb_ref = _oracle_bounds_trimmed(src, tgt, R, t, af, gt, h)
+    thresh = float(np.sort(lb_ref)[1] * 0.5)
+    tau = 2.0 * thresh / h
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    params = mxu.pack_params_bounds_trimmed(
+        R, t, af, gt, 0.0, thresh + drop * tau, tau
+    )
+    ub, lb = map(
+        np.asarray,
+        mxu.bounds_nodes_trimmed(srcT, wm, params, h=h, drop=drop,
+                                 interpret=True),
+    )
+    screened = 0
+    for b in range(8):
+        if ub[b] >= 1e29:        # screened
+            screened += 1
+            assert lb[b] >= thresh - 1e-4
+            assert lb[b] <= lb_ref[b] + 1e-3
+        else:
+            assert np.isclose(ub[b], ub_ref[b], rtol=1e-3, atol=1e-3)
+            assert np.isclose(lb[b], lb_ref[b], rtol=1e-3, atol=1e-3)
+    assert screened >= 6         # the far nodes actually screen
+    assert ub[0] < 1e29          # the near node was fully evaluated
+
+
+def test_trimmed_screened_solve_matches_unscreened(rng):
+    """End-to-end: a trimmed solve with the screened kernel converges to the
+    same pose as the unscreened mxu path."""
+    from goicp_tpu.bnb import BnbParams, register
+
+    src = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6
+    R_true = random_rotation(rng)
+    t_true = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+    src_noisy = np.concatenate(
+        [src, (rng.random((20, 3)).astype(np.float32) - 0.5) * 2.0]
+    ).astype(np.float32)
+    tgt = (src @ R_true.T + t_true).astype(np.float32)
+
+    kw = dict(mse_threshold=1e-5, trim_fraction=0.15, se3_pop=64,
+              max_rounds=80)
+    # trimmed solves default to the unfused kernel (measured faster);
+    # bound_backend="screen" opts in to the clamped-sum screened kernel
+    res_s = register(src_noisy, tgt, BnbParams(bound_backend="screen", **kw))
+    res_u = register(src_noisy, tgt, BnbParams(bound_backend="mxu", **kw))
+    for res in (res_s, res_u):
+        pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
+        assert rmse < 5e-3, (rmse, res.converged)
+
+
 def test_bounds_groups_matches_oracle(rng):
     src, tgt, Rg, _ = _scene(rng, b=3)
     G = 3
