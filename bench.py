@@ -98,12 +98,60 @@ def run_scenarios(tmp_root):
     return out
 
 
+def run_multipair(n_pairs=4):
+    """North-star scenario: batched multi-pair Go-ICP in lockstep (one fused
+    dispatch per round advances every pair; BASELINE.md).  Returns total
+    wall for ``n_pairs`` bunny pairs at random large poses + worst rmse."""
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.io import load_cloud
+    from goicp_tpu.multipair import register_pairs
+
+    base = os.path.join(_HERE, "data", "bunny")
+    src = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.05,
+                     seed=0)
+    rng = np.random.default_rng(4)
+    pairs, gts = [], []
+    for k in range(n_pairs):
+        A = rng.normal(size=(3, 3))
+        Q, Ru = np.linalg.qr(A)
+        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.4
+        pairs.append((src, (src @ Q.T + t).astype(np.float32)))
+        gts.append((Q, t))
+    params = BnbParams(mse_threshold=1e-5, max_rounds=600)
+
+    register_pairs(pairs, params)          # warmup (jit caches)
+    t0 = time.perf_counter()
+    results = register_pairs(pairs, params)
+    wall = time.perf_counter() - t0
+    worst = 0.0
+    for r, (Q, t) in zip(results, gts):
+        a = src @ np.asarray(r.transform.R).T + np.asarray(r.transform.t)
+        b = src @ Q.T + t
+        worst = max(worst, float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))))
+    return {
+        "pairs": n_pairs,
+        "total_wall_s": round(wall, 3),
+        "wall_per_pair_s": round(wall / n_pairs, 3),
+        "worst_rmse_vs_gt": worst,
+        "all_converged": bool(all(r.converged for r in results)),
+    }
+
+
 def main():
     from goicp_tpu.core.cache import enable_persistent_cache
 
     enable_persistent_cache()
 
     wall, times, res, n_src, n_tgt = run_headline()
+
+    try:
+        multipair = run_multipair()
+    except Exception as e:
+        traceback.print_exc()
+        multipair = {"error": f"{type(e).__name__}: {e}"}
 
     import tempfile
 
@@ -133,6 +181,7 @@ def main():
             "n_src": int(n_src),
             "n_tgt": int(n_tgt),
             "scenarios": scen,
+            "multipair_lockstep": multipair,
         },
     }
     print(json.dumps(out))
