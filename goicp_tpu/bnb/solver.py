@@ -255,6 +255,11 @@ class BnbParams:
     init_multistart: int = 64        # batched multi-start ICP seeds (ref: 1,
                                      # identity only, fgoicp.cpp:11) — a TPU
                                      # batching win; BnB still certifies
+    init_coarse_n: int = 512         # coarse-to-fine multistart: all seeds
+                                     # first converge on this many points per
+                                     # cloud (deterministic subset), only the
+                                     # refine_top_k best (+ identity/caller
+                                     # seeds) run at full resolution.  0 = off
     refine_top_k: int = 8            # always ICP-refine the k best-ub cands
     trans_span: float = 0.5          # root translation half-side (jly_goicp.cpp:50-53)
     trans_center: tuple = (0.0, 0.0, 0.0)
@@ -556,7 +561,14 @@ class GoIcpSolver:
         fgoicp.cpp:11-18): identity + deterministic random rotations with
         centroid-matching translations.  One device step usually lands in
         the global basin, which the BnB then certifies (and prunes against)
-        instead of discovers."""
+        instead of discovers.
+
+        Coarse-to-fine: when the clouds are large, all seeds first converge
+        on a deterministic ``init_coarse_n``-point subset pair (NN cost
+        divided by up to (N/n)·(Nt/n)), then only the best few — plus the
+        identity and any caller seed, preserving the reference's start — are
+        refined at full resolution.  The incumbent sse is always the
+        full-resolution score, so BnB pruning stays exact."""
         p, m = self.p, self.metrics
         with m.phase("icp"):
             seeds = [np.eye(3, dtype=np.float32)]
@@ -579,7 +591,38 @@ class GoIcpSolver:
             if init is not None:
                 t0[1] = np.asarray(init.t, np.float32)
             t0[0] = 0.0  # keep the reference's identity start exact
-            Rs, ts, sses, iters = self._refine(R0, t0.astype(np.float32))
+            t0 = t0.astype(np.float32)
+
+            nc = p.init_coarse_n
+            if 0 < nc < min(self.src.shape[0], self.tgt.shape[0]) // 2 \
+                    and R0.shape[0] > 4:
+                crng = np.random.default_rng(424242)
+                src_c = self.src[
+                    np.sort(crng.choice(self.src.shape[0], nc, replace=False))
+                ]
+                tgt_c = self.tgt[
+                    np.sort(crng.choice(self.tgt.shape[0], nc, replace=False))
+                ]
+                cres = _exact_icp(
+                    jnp.asarray(src_c), jnp.asarray(tgt_c),
+                    jnp.asarray(R0), jnp.asarray(t0), self._icp_params,
+                )
+                c_sse = np.asarray(cres.sse)
+                m.count("icp_iters", int(np.asarray(cres.iters).sum()))
+                keep = max(16, p.refine_top_k)
+                top = np.argsort(c_sse)[:keep]
+                pinned = [0] + ([1] if init is not None else [])
+                sel = np.unique(np.concatenate([np.asarray(pinned), top]))
+                # warm full-res starts from the coarse-converged poses
+                # (pinned seeds keep their original exact starts)
+                R0w = np.asarray(cres.transform.R)[sel]
+                t0w = np.asarray(cres.transform.t)[sel]
+                for j, s in enumerate(sel):
+                    if s in pinned:
+                        R0w[j], t0w[j] = R0[s], t0[s]
+                R0, t0 = R0w.astype(np.float32), t0w.astype(np.float32)
+
+            Rs, ts, sses, iters = self._refine(R0, t0)
             m.count("icp_iters", int(iters.sum()))
             j = int(np.argmin(sses))
             return Rs[j], ts[j], float(sses[j])

@@ -207,6 +207,27 @@ def test_nested_engine_recovers():
     assert rmse < 2e-3
 
 
+def test_coarse_to_fine_multistart_recovers():
+    """With the coarse seed stage forced on (init_coarse_n below the cloud
+    size), the solver still recovers a pose far outside ICP's basin — the
+    full-resolution refine of the top coarse seeds preserves the incumbent
+    quality, and the identity start stays pinned."""
+    rng = np.random.default_rng(17)
+    src = (rng.random((320, 3)).astype(np.float32) - 0.5) * 0.6
+    R_true = random_rotation(rng)
+    t_true = (rng.random(3).astype(np.float32) - 0.5) * 0.4
+    tgt = (src @ R_true.T + t_true).astype(np.float32)
+
+    res = register(
+        src, tgt,
+        BnbParams(mse_threshold=1e-5, init_coarse_n=64, se3_pop=64,
+                  max_rounds=80),
+    )
+    pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+    rmse = float(np.sqrt(np.mean(np.sum((pts - tgt) ** 2, axis=1))))
+    assert rmse < 2e-3, (rmse, res.converged)
+
+
 def test_screened_solve_matches_unscreened():
     """The progressive-screening backend ("screen", interpret mode on CPU)
     must converge to the same pose as the unscreened mxu kernel — screening
