@@ -207,6 +207,29 @@ def test_nested_engine_recovers():
     assert rmse < 2e-3
 
 
+def test_engines_agree_on_pose():
+    """The flat SE(3) product engine and the reference-shaped nested engine
+    must converge to the same pose on the same problem (both ε-certify the
+    same objective)."""
+    rng = np.random.default_rng(21)
+    src = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.6
+    R_true = random_rotation(rng)
+    t_true = np.array([0.08, -0.06, 0.1], np.float32)
+    tgt = (src @ R_true.T + t_true).astype(np.float32)
+
+    res_a = register(
+        src, tgt, BnbParams(mse_threshold=1e-5, engine="se3", se3_pop=64,
+                            max_rounds=80)
+    )
+    res_b = register(
+        src, tgt, BnbParams(mse_threshold=1e-5, engine="nested", rot_pop=2,
+                            inner_cap=16, inner_levels=8, max_rounds=40)
+    )
+    assert np.allclose(res_a.transform.R, res_b.transform.R, atol=2e-3)
+    assert np.allclose(res_a.transform.t, res_b.transform.t, atol=2e-3)
+    assert abs(res_a.mse - res_b.mse) < 1e-6
+
+
 def test_coarse_to_fine_multistart_recovers():
     """With the coarse seed stage forced on (init_coarse_n below the cloud
     size), the solver still recovers a pose far outside ICP's basin — the
