@@ -145,7 +145,21 @@ def main():
 
     enable_persistent_cache()
 
-    wall, times, res, n_src, n_tgt = run_headline()
+    try:
+        wall, times, res, n_src, n_tgt = run_headline()
+    except Exception as e:
+        # device/backend unavailable (e.g. relay outage): emit an honest
+        # machine-readable record instead of a stack trace — last verified
+        # hardware numbers live in BASELINE.md / BENCH_r02 history
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "bunny_goicp_wall_s",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "detail": {"error": f"{type(e).__name__}: {e}"},
+        }))
+        return
 
     try:
         multipair = run_multipair()
