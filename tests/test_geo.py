@@ -110,10 +110,13 @@ def test_axis_angle_cube_max_angle_is_sound_and_tighter():
 
     rng = np.random.default_rng(99)
     cs, ss = [], []
-    for _ in range(120):
-        # bias centers toward the outer shell, where the tightening matters
+    for i in range(140):
+        # bias centers toward the outer shell, where the tightening matters;
+        # include centers OUTSIDE the π-ball (valid() admits cubes out to
+        # ‖c‖ ≈ π + √3·s, jly_goicp.cpp:443-446)
+        rmax = np.pi + 1.0 if i % 4 == 0 else np.pi
         c = rng.uniform(-1, 1, size=3)
-        c *= rng.uniform(0.0, np.pi) / max(np.linalg.norm(c), 1e-9)
+        c *= rng.uniform(0.0, rmax) / max(np.linalg.norm(c), 1e-9)
         cs.append(c)
         ss.append(rng.uniform(0.005, 0.8))
     cs = np.asarray(cs, np.float32)
