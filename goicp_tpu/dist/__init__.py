@@ -12,4 +12,15 @@ __all__ = [
     "sharded_bounds_step",
     "sharded_icp_step",
     "sharded_sse",
+    "GoIcpSolverMultiHost",
 ]
+
+
+def __getattr__(name):
+    # lazy: multihost pulls in multihost_utils / distributed machinery that
+    # single-process users never need
+    if name == "GoIcpSolverMultiHost":
+        from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
+
+        return GoIcpSolverMultiHost
+    raise AttributeError(name)

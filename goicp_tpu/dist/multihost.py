@@ -1,0 +1,323 @@
+"""Multi-HOST Go-ICP: the BnB frontier sharded across ``jax.process_count()``
+processes (SURVEY §2 parallelism checklist, the PP/EP analogue — each host
+expands a disjoint slice of the SE(3) frontier; the incumbent is a scalar
+all-reduced each round; work rebalances over the process mesh).
+
+The reference has no multi-process anything (SURVEY §5: "distributed
+communication backend: none"); its closest analogue is the 32-stream pool
+(``fgoicp.hpp:24``).  The single-process engine (``bnb.se3``) already shards
+each round over an intra-process device mesh; this module adds the
+*between-hosts* axis on top:
+
+- **Disjoint partition.** Every process expands the same root; each pushes
+  only the children whose global index ≡ ``process_id`` (mod P).  Local
+  frontiers stay disjoint and jointly cover SE(3) — no duplicated work, no
+  coordination needed to maintain the invariant (children inherit it).
+- **Lockstep rounds + incumbent exchange.** Each loop iteration every
+  process runs one (possibly empty) fused device round, then joins one
+  ``process_allgather`` carrying ``(best_sse, pose, min_lb, |frontier|)``.
+  Pruning against a ≤1-round-stale global incumbent is CONSERVATIVE: a
+  stale best is never below the true best, so the prune threshold is never
+  too tight — identical to the single-host pipelining argument
+  (``bnb/se3.py``).
+- **Rebalancing.** Every 8 lockstep iterations, if the busiest
+  frontier holds >4× the idlest (or any host is empty while work remains),
+  each host pops its ``exchange_k`` best nodes into a fixed-size buffer
+  (inf-lb padded), allgathers, and re-partitions the merged set
+  deterministically (sorted by lb, index mod P) — every node lands on
+  exactly one host, so disjointness is preserved.
+- **Termination.** Converged when ``global_best − min_p(min_lb_p) ≤ ε``
+  or every frontier is empty — the distributed form of the ε-rule
+  (``fgoicp.cpp:44``); all processes see the same reduced scalars, so they
+  stop on the same iteration (no deadlocked collectives).
+
+Run one process per host with ``jax.distributed.initialize`` (tested
+multi-process on a single machine with the Gloo CPU backend —
+``tests/test_multihost.py``); on TPU pods the same code rides ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+
+from goicp_tpu.bnb.frontier import make_frontier
+from goicp_tpu.bnb.se3 import se3_round
+from goicp_tpu.bnb.solver import (
+    BnbParams,
+    GoIcpResult,
+    GoIcpSolver,
+    _OCTANTS,
+)
+from goicp_tpu.core.types import RigidTransform
+
+_SQRT3 = math.sqrt(3.0)
+
+
+def _allgather_np(x: np.ndarray) -> np.ndarray:
+    """Gather a same-shaped numpy array from every process → ``[P, ...]``."""
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(x)))
+
+
+class GoIcpSolverMultiHost(GoIcpSolver):
+    """Frontier-sharded Go-ICP across processes.
+
+    Every process constructs the solver with the SAME clouds and params and
+    calls :meth:`run`; collectives keep them in lockstep.  With
+    ``jax.process_count() == 1`` this is an (unpipelined) single-host SE(3)
+    solve — useful as the correctness baseline in tests.
+    """
+
+    def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
+        p, m = self.p, self.metrics
+        t_start = time.perf_counter()
+        pid = jax.process_index()
+        P = jax.process_count()
+
+        best_R, best_t, best_sse = self._initial_icp(init)
+        # all processes compute the same multistart (same seeds/data), but
+        # f32 nondeterminism could disagree in the last ulp: align on the
+        # global best so prune thresholds match exactly
+        best_R, best_t, best_sse = self._exchange_incumbent(
+            best_R, best_t, best_sse
+        )
+        self.log.info(
+            "[p%d/%d] initial ICP: sse=%.6g", pid, P, best_sse
+        )
+
+        mean_norm = float(np.mean(np.linalg.norm(self.src, axis=1)))
+        rot_floor = p.min_rot_span * self.rotparam.root_span
+        trans_floor = max(p.min_trans_span, 1e-5)
+
+        def classify(pay):
+            r_s, t_s = pay[:, 3], pay[:, 7]
+            g_rot = 2.0 * np.sin(
+                np.minimum(_SQRT3 * r_s, np.pi) / 2.0
+            ) * mean_norm
+            g_tr = _SQRT3 * t_s
+            can_rot = r_s / 2.0 >= rot_floor
+            split_rot = (g_rot >= g_tr) | (t_s / 2.0 < trans_floor)
+            split_rot &= can_rot
+            is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
+            return split_rot, is_leaf
+
+        frontier = make_frontier(8)
+        root = np.array(
+            [0.0, 0.0, 0.0, self.rotparam.root_span,
+             *p.trans_center, p.trans_span],
+            np.float32,
+        )
+        # EVERY process pushes the root and expands it identically on the
+        # first iteration, keeping only children with index ≡ pid (mod P) —
+        # a disjoint exact cover with no coordination
+        frontier.push(
+            root[None], np.zeros(1, np.float32),
+            np.full(1, np.inf, np.float32),
+        )
+
+        leaf_lb = float("inf")
+        rounds = 0          # local work rounds (metrics only)
+        it = 0              # GLOBAL lockstep iteration — advances on every
+                            # process every loop, so every collective-gating
+                            # condition below derives from identical values
+        pop_cap = p.se3_pop or 256
+        M_cap = 8 * pop_cap
+        exchange_k = max(64, pop_cap)
+        converged = best_sse <= self.sse_thresh
+
+        def evaluate(child, lf):
+            """One fused singleton round over ``child [C,8]`` payloads."""
+            C = child.shape[0]
+            padn = M_cap - C
+            R_c = self.rotparam.rotation(child[:, 0:3])
+            ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3])
+            out = se3_round(
+                self._src_dev,
+                self.ev.norms,
+                self.grid,
+                self._tgt_dev,
+                jnp.float32(
+                    self._exact_slack
+                    if self._backend in ("exact", "mxu", "screen")
+                    else self.ev.slack
+                ),
+                jnp.float32(best_sse - self.sse_thresh),
+                jnp.asarray(np.concatenate(
+                    [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
+                )),
+                jnp.asarray(np.concatenate(
+                    [ang_c.astype(np.float32), np.zeros(padn, np.float32)]
+                )),
+                jnp.asarray(np.concatenate(
+                    [child[:, 4:7], np.zeros((padn, 3), np.float32)]
+                )),
+                jnp.asarray(np.concatenate(
+                    [child[:, 7], np.zeros(padn, np.float32)]
+                )),
+                jnp.asarray(
+                    np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])
+                ),
+                h=(self.ev.h if p.trim_fraction > 0 else 0),
+                lookup=p.lookup,
+                backend="mxu" if self._backend == "screen" else self._backend,
+                tile=p.point_tile,
+                tgt_tile=256,
+                refine_k=p.refine_top_k,
+                icp_params=self._icp_params,
+                icp_backend=self._icp_backend,
+            )
+            return jax.device_get(out), R_c
+
+        while True:
+            it += 1
+            # ---- one local round (possibly empty) --------------------------
+            n_local = len(frontier)
+            new_best = False
+            if n_local and not converged:
+                rounds += 1
+                pay, _, _ = frontier.pop_best(pop_cap)
+                split_rot, is_leaf = classify(pay)
+                B = pay.shape[0]
+                child = np.repeat(pay, 8, axis=0)
+                oct8 = np.tile(_OCTANTS, (B, 1))
+                sr = np.repeat(split_rot, 8)
+                lf = np.repeat(is_leaf, 8)
+                half_r = np.repeat(pay[:, 3], 8) / 2.0
+                half_t = np.repeat(pay[:, 7], 8) / 2.0
+                tr = ~sr & ~lf
+                child[sr, 0:3] += oct8[sr] * half_r[sr, None]
+                child[sr, 3] = half_r[sr]
+                child[tr, 4:7] += oct8[tr] * half_t[tr, None]
+                child[tr, 7] = half_t[tr]
+                keep = np.ones(8 * B, bool)
+                if lf.any():
+                    keep &= ~lf | (np.arange(8 * B) % 8 == 0)
+                keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
+                # the identical root expansion partitions children across
+                # processes; afterwards each host owns its subtree slices
+                if it == 1 and P > 1:
+                    keep &= (np.arange(8 * B) % P) == pid
+                child, lf = child[keep], lf[keep]
+                C = child.shape[0]
+                if C:
+                    assert C <= M_cap
+                    m.count("se3_nodes", C)
+                    (ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref), R_c = \
+                        evaluate(child, lf)
+                    ub_c, lb_c = ub_d[:C], lb_d[:C]
+                    m.count("icp_iters", int(it_ref.sum()))
+                    j = int(np.argmin(sse_ref))
+                    if float(sse_ref[j]) < best_sse:
+                        best_sse = float(sse_ref[j])
+                        best_R, best_t = R_ref[j], t_ref[j]
+                        new_best = True
+                    j = int(np.argmin(ub_c))
+                    if float(ub_c[j]) < best_sse:
+                        best_sse = float(ub_c[j])
+                        best_R, best_t = R_c[j], child[j, 4:7]
+                        new_best = True
+                    alive = lb_c < best_sse - self.sse_thresh
+                    if (alive & lf).any():
+                        leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
+                    k2 = alive & ~lf
+                    if k2.any():
+                        frontier.push(child[k2], lb_c[k2], ub_c[k2])
+
+            # ---- lockstep exchange (every process, every iteration) --------
+            if new_best:
+                frontier.prune(best_sse - self.sse_thresh)
+            best_R, best_t, best_sse = self._exchange_incumbent(
+                best_R, best_t, best_sse
+            )
+            frontier.prune(best_sse - self.sse_thresh)
+            want_stop = float(
+                it >= p.max_rounds
+                or time.perf_counter() - t_start > p.max_wall_s
+            )
+            local = np.float32([
+                min(frontier.min_lb(), leaf_lb),
+                float(len(frontier)),
+                want_stop,
+            ])
+            allg = _allgather_np(local)                    # [P, 3]
+            g_min_lb = float(allg[:, 0].min())
+            sizes = allg[:, 1]
+            total = float(sizes.sum())
+
+            if best_sse <= self.sse_thresh:
+                converged = True
+            if best_sse - g_min_lb <= self.sse_thresh or total == 0:
+                converged = True
+            # unanimous break: converged/g_min_lb/sizes are identical on all
+            # processes and want_stop is max-reduced, so every process takes
+            # this branch on the same iteration (no dangling collectives)
+            if converged or allg[:, 2].max() > 0:
+                break
+
+            # ---- rebalance: even out frontiers ------------------------------
+            force = sizes.min() == 0 and total > 0
+            if force or (
+                it % 8 == 0
+                and sizes.max() > 4 * max(sizes.min(), 1.0)
+            ):
+                pay, lb, ub = frontier.pop_best(exchange_k)
+                buf = np.full((exchange_k, 10), np.inf, np.float32)
+                n = pay.shape[0]
+                buf[:n, :8] = pay
+                buf[:n, 8] = lb
+                buf[:n, 9] = ub
+                merged = _allgather_np(buf).reshape(-1, 10)
+                real = np.isfinite(merged[:, 8])
+                merged = merged[real]
+                order = np.argsort(merged[:, 8], kind="stable")
+                mine = order[pid::P]
+                if mine.size:
+                    frontier.push(
+                        merged[mine, :8], merged[mine, 8], merged[mine, 9]
+                    )
+                m.count("rebalances", 1)
+
+        gap = best_sse - min(g_min_lb, leaf_lb)
+        wall = time.perf_counter() - t_start
+        nodes = int(m.counters.get("se3_nodes", 0))
+        self.log.info(
+            "[p%d/%d] Go-ICP(multihost) done: sse=%.6g rounds=%d "
+            "local_nodes=%d rebalances=%d wall=%.2fs",
+            pid, P, best_sse, rounds, nodes,
+            int(m.counters.get("rebalances", 0)), wall,
+        )
+        return GoIcpResult(
+            transform=RigidTransform(best_R, best_t),
+            sse=best_sse,
+            mse=best_sse / self.ev.h,
+            converged=converged,
+            gap=float(max(gap, 0.0)) if math.isfinite(gap) else 0.0,
+            rot_nodes=nodes,
+            trans_nodes=nodes,
+            icp_iters=int(m.counters.get("icp_iters", 0)),
+            rounds=rounds,
+            wall_s=wall,
+            metrics=m,
+        )
+
+    def _exchange_incumbent(self, best_R, best_t, best_sse):
+        """Global min-reduce of the incumbent (pose rides along)."""
+        if jax.process_count() == 1:
+            return best_R, best_t, best_sse
+        rec = np.zeros(13, np.float32)
+        rec[0] = best_sse
+        rec[1:10] = np.asarray(best_R, np.float32).reshape(9)
+        rec[10:13] = np.asarray(best_t, np.float32)
+        allr = _allgather_np(rec)                          # [P, 13]
+        j = int(np.argmin(allr[:, 0]))
+        return (
+            allr[j, 1:10].reshape(3, 3),
+            allr[j, 10:13],
+            float(allr[j, 0]),
+        )

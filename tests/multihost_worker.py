@@ -1,0 +1,75 @@
+"""Worker process for tests/test_multihost.py: one simulated host of a
+frontier-sharded Go-ICP solve (Gloo CPU backend).  Not a test module.
+
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.json>
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+pid, nproc, port, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+if nproc > 1:
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+
+import numpy as np
+
+from goicp_tpu.bnb import BnbParams
+from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
+
+
+def _problem():
+    rng = np.random.default_rng(77)
+    src = (rng.random((150, 3)).astype(np.float32) - 0.5) * 0.6
+    A = rng.normal(size=(3, 3))
+    Q, Ru = np.linalg.qr(A)
+    Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    t = np.float32([0.12, -0.07, 0.09])
+    tgt = (src @ Q.T + t).astype(np.float32)
+    return src, tgt, Q, t
+
+
+src, tgt, Q, t_true = _problem()
+params = BnbParams(
+    mse_threshold=1e-5,
+    bound_backend="exact",
+    se3_pop=32,
+    # identity-only start (the reference's own start, fgoicp.cpp:11): the
+    # multistart must NOT find the far-away global basin, so the BnB has to
+    # DISCOVER it — the frontier slices carry real distributed search work
+    init_multistart=1,
+    refine_top_k=4,
+    max_rounds=600,
+    max_wall_s=240.0,
+)
+res = GoIcpSolverMultiHost(src, tgt, params).run()
+pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+gt = src @ Q.T + t_true
+rmse = float(np.sqrt(np.mean(np.sum((pts - gt) ** 2, axis=1))))
+with open(out_path, "w") as f:
+    json.dump(
+        {
+            "pid": pid,
+            "converged": bool(res.converged),
+            "mse": float(res.mse),
+            "rmse_vs_gt": rmse,
+            "rounds": res.rounds,
+            "local_nodes": res.rot_nodes,
+            "rebalances": int(res.metrics.counters.get("rebalances", 0)),
+            "R": np.asarray(res.transform.R).tolist(),
+            "t": np.asarray(res.transform.t).tolist(),
+        },
+        f,
+    )
+print(f"[p{pid}] done", flush=True)

@@ -1,0 +1,71 @@
+"""Multi-HOST frontier sharding (dist.multihost): two real processes with
+disjoint frontier slices, Gloo CPU collectives, vs the single-process
+solution of the same problem.  SURVEY §2 parallelism checklist — the
+multi-host axis the reference has no analogue for."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_WORKER = os.path.join(_HERE, "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(nproc: int, tmp_path, timeout=420):
+    outs = []
+    procs = []
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(_HERE) + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    port = _free_port()
+    for pid in range(nproc):
+        out = tmp_path / f"mh_{nproc}_{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, _WORKER, str(pid), str(nproc), str(port),
+                 str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    results = []
+    for pr, out in zip(procs, outs):
+        stdout, _ = pr.communicate(timeout=timeout)
+        assert pr.returncode == 0, stdout.decode()[-2000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+def test_two_hosts_match_single_host(tmp_path):
+    single = _run(1, tmp_path)[0]
+    duo = _run(2, tmp_path)
+
+    assert single["converged"] and single["rmse_vs_gt"] < 1e-3
+
+    for r in duo:
+        # every process exits with the SAME (exchanged) global result
+        assert r["converged"], r
+        assert r["rmse_vs_gt"] < 1e-3, r
+        assert np.allclose(r["R"], duo[0]["R"], atol=1e-6)
+        assert abs(r["mse"] - single["mse"]) < 1e-9
+    # the work was actually split: BOTH hosts evaluated nodes from their own
+    # disjoint frontier slices (on this discovery-shaped problem each host
+    # races its half of SE(3) until the shared incumbent prunes the rest)
+    nodes = [r["local_nodes"] for r in duo]
+    assert min(nodes) > 0, nodes
