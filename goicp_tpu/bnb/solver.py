@@ -891,8 +891,17 @@ def make_solver(
     params: BnbParams = BnbParams(),
     progress: Optional[ProgressBus] = None,
 ) -> GoIcpSolver:
-    """Engine dispatch: "se3" (flat product-space, default) or "nested"."""
+    """Engine dispatch: "se3" (flat product-space, default) or "nested".
+
+    Under a multi-process ``jax.distributed`` launch (every process running
+    the same program, one per host) the SE(3) engine routes to the
+    frontier-sharded multi-host solver automatically — single-process
+    behavior is untouched."""
     if params.engine == "se3":
+        if jax.process_count() > 1:
+            from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
+
+            return GoIcpSolverMultiHost(src, tgt, params, progress)
         from goicp_tpu.bnb.se3 import GoIcpSolverSE3
 
         return GoIcpSolverSE3(src, tgt, params, progress)

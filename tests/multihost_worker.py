@@ -23,8 +23,7 @@ if nproc > 1:
 
 import numpy as np
 
-from goicp_tpu.bnb import BnbParams
-from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
+from goicp_tpu.bnb import BnbParams, make_solver
 
 
 def _problem():
@@ -53,7 +52,9 @@ params = BnbParams(
     max_rounds=600,
     max_wall_s=240.0,
 )
-res = GoIcpSolverMultiHost(src, tgt, params).run()
+# make_solver auto-routes: multi-process launches get the frontier-sharded
+# multi-host engine, single-process the production SE(3) engine
+res = make_solver(src, tgt, params).run()
 pts = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
 gt = src @ Q.T + t_true
 rmse = float(np.sqrt(np.mean(np.sum((pts - gt) ** 2, axis=1))))
