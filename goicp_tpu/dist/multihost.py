@@ -283,6 +283,11 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     )
                 m.count("rebalances", 1)
 
+        # full-resolution polish (bound_points-capped solves): the incumbent
+        # is exchange-identical on every process and the polish is
+        # deterministic with no collectives, so lockstep is preserved
+        best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
+
         gap = best_sse - min(g_min_lb, leaf_lb)
         wall = time.perf_counter() - t_start
         nodes = int(m.counters.get("se3_nodes", 0))
