@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import multihost_utils
 
 from goicp_tpu.bnb.frontier import make_frontier
-from goicp_tpu.bnb.se3 import se3_round
+from goicp_tpu.bnb.se3 import se3_round, se3_round_grouped
 from goicp_tpu.bnb.solver import (
     BnbParams,
     GoIcpResult,
@@ -174,6 +174,56 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             )
             return jax.device_get(out), R_c
 
+        def evaluate_grouped(tpay):
+            """One fused GROUPED round: 8 translation-octant siblings per
+            T-split parent share the rotation's distance plane (~3× the
+            singleton kernel's per-node throughput on TPU — ``nn.mxu``)."""
+            Gt = tpay.shape[0]
+            padg = pop_cap - Gt
+            R_g = self.rotparam.rotation(tpay[:, 0:3])
+            ang_g = self.rotparam.max_angle(tpay[:, 0:3], tpay[:, 3])
+            half_t = (tpay[:, 7] / 2.0).astype(np.float32)
+            t8 = (
+                tpay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]
+            ).astype(np.float32)
+            ts8 = np.repeat(half_t, 8).reshape(Gt, 8)
+            out = se3_round_grouped(
+                self._src_dev,
+                self.ev.norms,
+                self.grid,
+                self._tgt_dev,
+                jnp.float32(
+                    self._exact_slack
+                    if self._backend in ("exact", "mxu", "screen")
+                    else self.ev.slack
+                ),
+                jnp.float32(best_sse - self.sse_thresh),
+                jnp.asarray(np.concatenate(
+                    [R_g, np.tile(np.eye(3, dtype=np.float32), (padg, 1, 1))]
+                )),
+                jnp.asarray(np.concatenate(
+                    [ang_g.astype(np.float32), np.zeros(padg, np.float32)]
+                )),
+                jnp.asarray(np.concatenate(
+                    [t8, np.zeros((padg, 8, 3), np.float32)]
+                )),
+                jnp.asarray(np.concatenate(
+                    [ts8, np.zeros((padg, 8), np.float32)]
+                )),
+                jnp.asarray(np.concatenate(
+                    [np.ones(8 * Gt, bool), np.zeros(8 * padg, bool)]
+                )),
+                h=(self.ev.h if p.trim_fraction > 0 else 0),
+                lookup=p.lookup,
+                backend="mxu" if self._backend == "screen" else self._backend,
+                tile=p.point_tile,
+                tgt_tile=256,
+                refine_k=p.refine_top_k,
+                icp_params=self._icp_params,
+                icp_backend=self._icp_backend,
+            )
+            return jax.device_get(out), np.repeat(R_g, 8, axis=0)
+
         while True:
             it += 1
             # ---- one local round (possibly empty) --------------------------
@@ -203,31 +253,70 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 # processes; afterwards each host owns its subtree slices
                 if it == 1 and P > 1:
                     keep &= (np.arange(8 * B) % P) == pid
+                tr_kept = tr[keep]
                 child, lf = child[keep], lf[keep]
-                C = child.shape[0]
-                if C:
-                    assert C <= M_cap
-                    m.count("se3_nodes", C)
+
+                # T-split children ride the grouped kernel (their 8-blocks
+                # survive `keep` intact: leaves/ball-validity only cull
+                # R-split children, and the it==1 partition precedes any
+                # T-split); R-split children + leaves go singleton
+                outs = []          # (child_rows, lf_rows, R_rows, ub, lb)
+                # the it==1 mod-P partition can break 8-sibling blocks (the
+                # root may itself be a T-split): evaluate everything as
+                # singletons on that iteration
+                grouped_ok = not (it == 1 and P > 1)
+                if not grouped_ok:
+                    tr_kept = np.zeros_like(tr_kept)
+                child_s, lf_s = child[~tr_kept], lf[~tr_kept]
+                Cs = child_s.shape[0]
+                if Cs:
+                    assert Cs <= M_cap
+                    m.count("se3_nodes", Cs)
                     (ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref), R_c = \
-                        evaluate(child, lf)
-                    ub_c, lb_c = ub_d[:C], lb_d[:C]
+                        evaluate(child_s, lf_s)
                     m.count("icp_iters", int(it_ref.sum()))
                     j = int(np.argmin(sse_ref))
                     if float(sse_ref[j]) < best_sse:
                         best_sse = float(sse_ref[j])
                         best_R, best_t = R_ref[j], t_ref[j]
                         new_best = True
+                    outs.append((child_s, lf_s, R_c, ub_d[:Cs], lb_d[:Cs]))
+                tpay = (
+                    pay[~split_rot & ~is_leaf]
+                    if grouped_ok
+                    else pay[:0]
+                )
+                Gt = tpay.shape[0]
+                if Gt:
+                    child_t = child[tr_kept]
+                    assert child_t.shape[0] == 8 * Gt
+                    m.count("se3_nodes", 8 * Gt)
+                    (ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref), R_c = \
+                        evaluate_grouped(tpay)
+                    m.count("icp_iters", int(it_ref.sum()))
+                    j = int(np.argmin(sse_ref))
+                    if float(sse_ref[j]) < best_sse:
+                        best_sse = float(sse_ref[j])
+                        best_R, best_t = R_ref[j], t_ref[j]
+                        new_best = True
+                    outs.append((
+                        child_t, np.zeros(8 * Gt, bool), R_c,
+                        ub_d[: 8 * Gt], lb_d[: 8 * Gt],
+                    ))
+                for child_o, lf_o, R_o, ub_c, lb_c in outs:
                     j = int(np.argmin(ub_c))
                     if float(ub_c[j]) < best_sse:
                         best_sse = float(ub_c[j])
-                        best_R, best_t = R_c[j], child[j, 4:7]
+                        best_R, best_t = R_o[j], child_o[j, 4:7]
                         new_best = True
                     alive = lb_c < best_sse - self.sse_thresh
-                    if (alive & lf).any():
-                        leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
-                    k2 = alive & ~lf
+                    if (alive & lf_o).any():
+                        leaf_lb = min(
+                            leaf_lb, float(lb_c[alive & lf_o].min())
+                        )
+                    k2 = alive & ~lf_o
                     if k2.any():
-                        frontier.push(child[k2], lb_c[k2], ub_c[k2])
+                        frontier.push(child_o[k2], lb_c[k2], ub_c[k2])
 
             # ---- lockstep exchange (every process, every iteration) --------
             if new_best:
