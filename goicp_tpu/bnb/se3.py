@@ -522,9 +522,11 @@ class GoIcpSolverSE3(GoIcpSolver):
                 h=(self.ev.h if p.trim_fraction > 0 else 0),
                 n_valid=self.src.shape[0],
                 lookup=p.lookup,
-                # mesh rounds use the unfused kernel (screening is a
-                # single-core sequential-grid optimization)
-                backend=("mxu" if self._backend == "screen" else self._backend),
+                # cube-only meshes screen per shard (each device holds the
+                # whole cloud, so partial-sum thresholds stay globally
+                # valid); point-sharded meshes fall back to the unfused
+                # kernel inside make_sharded_se3_round
+                backend=self._backend,
                 tile=p.point_tile,
                 refine_k=p.refine_top_k,
                 icp_params=self._icp_params,
@@ -724,6 +726,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                     if self._backend in ("exact", "mxu", "screen")
                     else self.ev.slack
                 ),
+                jnp.float32(best_sse - self.sse_thresh),
                 jnp.asarray(R_c),
                 jnp.asarray(ang_c),
                 jnp.asarray(t_c),

@@ -127,9 +127,55 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                             # process every loop, so every collective-gating
                             # condition below derives from identical values
         pop_cap = p.se3_pop or 256
+
+        # ---- optional intra-process device mesh: the between-hosts frontier
+        # axis composes with a within-host (cubes × points) mesh — each
+        # process shards ITS OWN rounds over its local chips (purely local
+        # collectives, so lockstep across hosts is untouched).  ``mesh_cubes
+        # = 0`` means every local device (mirroring the single-host engine).
+        n_p = max(1, p.mesh_points)
+        n_c = (
+            max(1, len(jax.local_devices()) // n_p)
+            if p.mesh_cubes == 0
+            else max(1, p.mesh_cubes)
+        )
+        sharded_round = None
+        if n_c * n_p > 1:
+            from goicp_tpu.dist.se3 import make_sharded_se3_round, pad_points
+            from goicp_tpu.dist.sharding import make_mesh
+
+            local_mesh = make_mesh(n_c, n_p, devices=jax.local_devices())
+            quantum = 128 if self._backend in ("mxu", "screen") else p.point_tile
+            src_pad, norms_pad = pad_points(
+                self.src, np.asarray(self.ev.norms), n_p, quantum
+            )
+            src_pad_dev = jnp.asarray(src_pad)
+            norms_pad_dev = jnp.asarray(norms_pad)
+            pop_cap = -(-pop_cap // n_c) * n_c
+            sharded_round = make_sharded_se3_round(
+                local_mesh,
+                h=(self.ev.h if p.trim_fraction > 0 else 0),
+                n_valid=self.src.shape[0],
+                lookup=p.lookup,
+                backend=self._backend,
+                tile=p.point_tile,
+                refine_k=p.refine_top_k,
+                icp_params=self._icp_params,
+                icp_backend=self._icp_backend,
+            )
+            self.log.info(
+                "[p%d/%d] rounds on a local %dx%d (cubes x points) mesh",
+                pid, P, n_c, n_p,
+            )
+
         M_cap = 8 * pop_cap
         exchange_k = max(64, pop_cap)
         converged = best_sse <= self.sse_thresh
+        _slack = jnp.float32(
+            self._exact_slack
+            if self._backend in ("exact", "mxu", "screen")
+            else self.ev.slack
+        )
 
         def evaluate(child, lf):
             """One fused singleton round over ``child [C,8]`` payloads."""
@@ -137,35 +183,44 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             padn = M_cap - C
             R_c = self.rotparam.rotation(child[:, 0:3])
             ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3])
+            R_pad = jnp.asarray(np.concatenate(
+                [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
+            ))
+            ang_pad = jnp.asarray(np.concatenate(
+                [ang_c.astype(np.float32), np.zeros(padn, np.float32)]
+            ))
+            t_pad = jnp.asarray(np.concatenate(
+                [child[:, 4:7], np.zeros((padn, 3), np.float32)]
+            ))
+            ts_pad = jnp.asarray(np.concatenate(
+                [child[:, 7], np.zeros(padn, np.float32)]
+            ))
+            mask = jnp.asarray(
+                np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])
+            )
+            thresh = jnp.float32(best_sse - self.sse_thresh)
+            if sharded_round is not None:
+                out = sharded_round(
+                    src_pad_dev, norms_pad_dev, self.grid, self._tgt_dev,
+                    _slack, thresh, R_pad, ang_pad, t_pad, ts_pad, mask,
+                    self._src_dev,
+                )
+                return jax.device_get(out), R_c
             out = se3_round(
                 self._src_dev,
                 self.ev.norms,
                 self.grid,
                 self._tgt_dev,
-                jnp.float32(
-                    self._exact_slack
-                    if self._backend in ("exact", "mxu", "screen")
-                    else self.ev.slack
-                ),
-                jnp.float32(best_sse - self.sse_thresh),
-                jnp.asarray(np.concatenate(
-                    [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
-                )),
-                jnp.asarray(np.concatenate(
-                    [ang_c.astype(np.float32), np.zeros(padn, np.float32)]
-                )),
-                jnp.asarray(np.concatenate(
-                    [child[:, 4:7], np.zeros((padn, 3), np.float32)]
-                )),
-                jnp.asarray(np.concatenate(
-                    [child[:, 7], np.zeros(padn, np.float32)]
-                )),
-                jnp.asarray(
-                    np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])
-                ),
+                _slack,
+                thresh,
+                R_pad,
+                ang_pad,
+                t_pad,
+                ts_pad,
+                mask,
                 h=(self.ev.h if p.trim_fraction > 0 else 0),
                 lookup=p.lookup,
-                backend="mxu" if self._backend == "screen" else self._backend,
+                backend=self._backend,
                 tile=p.point_tile,
                 tgt_tile=256,
                 refine_k=p.refine_top_k,
@@ -177,7 +232,10 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         def evaluate_grouped(tpay):
             """One fused GROUPED round: 8 translation-octant siblings per
             T-split parent share the rotation's distance plane (~3× the
-            singleton kernel's per-node throughput on TPU — ``nn.mxu``)."""
+            singleton kernel's per-node throughput on TPU — ``nn.mxu``).
+            On a local device mesh the groups flatten to singleton jobs
+            sharded over the cube axis (same tradeoff as the single-host
+            mesh path: devices beat the shared-plane amortization)."""
             Gt = tpay.shape[0]
             padg = pop_cap - Gt
             R_g = self.rotparam.rotation(tpay[:, 0:3])
@@ -187,35 +245,45 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 tpay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]
             ).astype(np.float32)
             ts8 = np.repeat(half_t, 8).reshape(Gt, 8)
+            R_pad = np.concatenate(
+                [R_g, np.tile(np.eye(3, dtype=np.float32), (padg, 1, 1))]
+            )
+            ang_pad = np.concatenate(
+                [ang_g.astype(np.float32), np.zeros(padg, np.float32)]
+            )
+            t8_pad = np.concatenate([t8, np.zeros((padg, 8, 3), np.float32)])
+            ts8_pad = np.concatenate([ts8, np.zeros((padg, 8), np.float32)])
+            mask = jnp.asarray(np.concatenate(
+                [np.ones(8 * Gt, bool), np.zeros(8 * padg, bool)]
+            ))
+            thresh = jnp.float32(best_sse - self.sse_thresh)
+            if sharded_round is not None:
+                out = sharded_round(
+                    src_pad_dev, norms_pad_dev, self.grid, self._tgt_dev,
+                    _slack, thresh,
+                    jnp.asarray(np.repeat(R_pad, 8, axis=0)),
+                    jnp.asarray(np.repeat(ang_pad, 8)),
+                    jnp.asarray(t8_pad.reshape(-1, 3)),
+                    jnp.asarray(ts8_pad.reshape(-1)),
+                    mask,
+                    self._src_dev,
+                )
+                return jax.device_get(out), np.repeat(R_g, 8, axis=0)
             out = se3_round_grouped(
                 self._src_dev,
                 self.ev.norms,
                 self.grid,
                 self._tgt_dev,
-                jnp.float32(
-                    self._exact_slack
-                    if self._backend in ("exact", "mxu", "screen")
-                    else self.ev.slack
-                ),
-                jnp.float32(best_sse - self.sse_thresh),
-                jnp.asarray(np.concatenate(
-                    [R_g, np.tile(np.eye(3, dtype=np.float32), (padg, 1, 1))]
-                )),
-                jnp.asarray(np.concatenate(
-                    [ang_g.astype(np.float32), np.zeros(padg, np.float32)]
-                )),
-                jnp.asarray(np.concatenate(
-                    [t8, np.zeros((padg, 8, 3), np.float32)]
-                )),
-                jnp.asarray(np.concatenate(
-                    [ts8, np.zeros((padg, 8), np.float32)]
-                )),
-                jnp.asarray(np.concatenate(
-                    [np.ones(8 * Gt, bool), np.zeros(8 * padg, bool)]
-                )),
+                _slack,
+                thresh,
+                jnp.asarray(R_pad),
+                jnp.asarray(ang_pad),
+                jnp.asarray(t8_pad),
+                jnp.asarray(ts8_pad),
+                mask,
                 h=(self.ev.h if p.trim_fraction > 0 else 0),
                 lookup=p.lookup,
-                backend="mxu" if self._backend == "screen" else self._backend,
+                backend=self._backend,
                 tile=p.point_tile,
                 tgt_tile=256,
                 refine_k=p.refine_top_k,

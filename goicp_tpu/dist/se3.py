@@ -110,10 +110,14 @@ def make_sharded_se3_round(
     ``bnb.se3.se3_round``; ≙ ``kernComputeBounds``+reduce over 32 streams,
     ``registration.cu:88-151``, widened to a device mesh).
 
-    Returned callable: ``round(src_pad, norms_pad, grid, tgt, slack, R,
-    max_angle, t_c, t_span, mask, src) -> (ub, lb, R_ref, t_ref, sse_ref,
+    Returned callable: ``round(src_pad, norms_pad, grid, tgt, slack, thresh,
+    R, max_angle, t_c, t_span, mask, src) -> (ub, lb, R_ref, t_ref, sse_ref,
     iters)`` with job arrays ``[M]`` (M divisible by the cubes extent) and
-    ``src_pad`` point-padded via :func:`pad_points`.
+    ``src_pad`` point-padded via :func:`pad_points`.  ``thresh`` (incumbent
+    − ε at dispatch) drives the "screen" backend — the fused screened kernel
+    runs per cube shard when the point axis is unsharded (points extent 1;
+    otherwise screen falls back to "mxu", since a point shard's partial sum
+    cannot be compared against the global threshold).
 
     ``h``: trimmed keep-count (0 = untrimmed); ``n_valid``: real source
     count inside the padded cloud.
@@ -121,9 +125,32 @@ def make_sharded_se3_round(
     drop = 0 if h in (0, n_valid) else n_valid - h
     from goicp_tpu.nn import mxu as _mxu
 
-    if backend == "mxu":
+    if backend == "screen" and mesh.shape["points"] != 1:
+        # the progressive screen compares PARTIAL point sums against the
+        # global threshold — invalid on a point shard (a shard's partial sum
+        # bounds only its slice).  Cube-only meshes screen per shard.
+        backend = "mxu"
 
-        def kernel(src_pad, norms_pad, grid, tgt_packed, slack,
+    if backend == "screen":
+
+        def kernel(src_pad, norms_pad, grid, tgt_packed, slack, thresh,
+                   R, max_angle, t_c, t_span, mask):
+            # whole cloud per shard (points extent 1): the fused screened
+            # kernel evaluates this device's node slice exactly as the
+            # single-chip engine would — thresholds are globally valid
+            # because the incumbent only improves (FUTURE lever 8)
+            from goicp_tpu.bnb.se3 import evaluate_se3_nodes_screened
+
+            src = jax.lax.slice_in_dim(src_pad, 0, n_valid, axis=0)
+            norms = jax.lax.slice_in_dim(norms_pad, 0, n_valid, axis=0)
+            return evaluate_se3_nodes_screened(
+                src, norms, tgt_packed, slack, thresh,
+                R, max_angle, t_c, t_span, mask, h=h,
+            )
+
+    elif backend == "mxu":
+
+        def kernel(src_pad, norms_pad, grid, tgt_packed, slack, thresh,
                    R, max_angle, t_c, t_span, mask):
             # local shards: src_pad [Nl,3], R [Ml,3,3]; tgt replicated [Mp,8]
             nl = src_pad.shape[0]
@@ -139,7 +166,7 @@ def make_sharded_se3_round(
 
     else:
 
-        def kernel(src_pad, norms_pad, grid, tgt, slack,
+        def kernel(src_pad, norms_pad, grid, tgt, slack, thresh,
                    R, max_angle, t_c, t_span, mask):
             nl = src_pad.shape[0]
             n_tiles = nl // tile
@@ -212,6 +239,7 @@ def make_sharded_se3_round(
             P(),                  # grid (replicated pytree)
             tgt_spec,             # tgt / tgt_packed
             P(),                  # slack
+            P(),                  # thresh (screen backend; others ignore)
             P("cubes", None, None),
             jobs,                 # max_angle
             P("cubes", None),     # t_c
@@ -224,7 +252,7 @@ def make_sharded_se3_round(
         check_vma=False,
     )
 
-    def round_fn(src_pad, norms_pad, grid, tgt, slack,
+    def round_fn(src_pad, norms_pad, grid, tgt, slack, thresh,
                  R, max_angle, t_c, t_span, mask, src):
         from goicp_tpu.icp import (
             exact_correspondence,
@@ -234,6 +262,8 @@ def make_sharded_se3_round(
 
         if backend == "mxu":
             tgt_b = _mxu.pack_targets(tgt)
+        elif backend == "screen":
+            tgt_b = tgt        # the screened evaluator packs internally
         elif backend == "exact":
             padt = (-tgt.shape[0]) % 256
             tgt_b = (
@@ -244,7 +274,7 @@ def make_sharded_se3_round(
         else:
             tgt_b = tgt
         ub, lb = bounds(
-            src_pad, norms_pad, grid, tgt_b, slack,
+            src_pad, norms_pad, grid, tgt_b, slack, thresh,
             R, max_angle, t_c, t_span, mask,
         )
         # global (cross-shard) incumbent candidates: XLA partitions the

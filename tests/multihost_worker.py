@@ -1,7 +1,11 @@
 """Worker process for tests/test_multihost.py: one simulated host of a
 frontier-sharded Go-ICP solve (Gloo CPU backend).  Not a test module.
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <out.json>
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.json> [mesh_cubes]
+
+``mesh_cubes > 1`` composes the between-hosts frontier sharding with a
+within-host (cubes × 1) local device mesh — every process runs its rounds
+through ``dist.se3.make_sharded_se3_round`` over its own virtual devices.
 """
 
 import json
@@ -14,6 +18,7 @@ jax.config.update("jax_platforms", "cpu")
 pid, nproc, port, out_path = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
+mesh_cubes = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 if nproc > 1:
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
@@ -51,6 +56,7 @@ params = BnbParams(
     refine_top_k=4,
     max_rounds=600,
     max_wall_s=240.0,
+    mesh_cubes=mesh_cubes,
 )
 # make_solver auto-routes: multi-process launches get the frontier-sharded
 # multi-host engine, single-process the production SE(3) engine

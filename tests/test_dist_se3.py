@@ -65,9 +65,9 @@ def test_sharded_round_matches_single_chip(setup, mesh_shape, h_frac):
     )
     ub2, lb2, R_ref, t_ref, sse_ref, iters = rnd(
         jnp.asarray(src_p), jnp.asarray(norms_p), grid, jnp.asarray(tgt),
-        jnp.float32(0.0), jnp.asarray(R), jnp.asarray(ang),
-        jnp.asarray(t_c), jnp.asarray(t_s), jnp.asarray(mask),
-        jnp.asarray(src),
+        jnp.float32(0.0), jnp.float32(np.inf), jnp.asarray(R),
+        jnp.asarray(ang), jnp.asarray(t_c), jnp.asarray(t_s),
+        jnp.asarray(mask), jnp.asarray(src),
     )
     f1, f2 = np.asarray(ub1), np.asarray(ub2)
     fin = np.isfinite(f1)
@@ -109,14 +109,71 @@ def test_sharded_mxu_round_matches_single_chip(setup):
     )
     ub2, lb2, *_ = rnd(
         jnp.asarray(src_p), jnp.asarray(norms_p), grid, jnp.asarray(tgt),
-        jnp.float32(0.0), jnp.asarray(R), jnp.asarray(ang),
-        jnp.asarray(t_c), jnp.asarray(t_s), jnp.asarray(mask),
-        jnp.asarray(src),
+        jnp.float32(0.0), jnp.float32(np.inf), jnp.asarray(R),
+        jnp.asarray(ang), jnp.asarray(t_c), jnp.asarray(t_s),
+        jnp.asarray(mask), jnp.asarray(src),
     )
     np.testing.assert_allclose(np.asarray(ub2), np.asarray(ub1),
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(lb2), np.asarray(lb1),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_screen_round_matches_single_chip(setup):
+    """The SCREENED fused kernel under a cube-only mesh (FUTURE lever 8):
+    each shard screens its own node slice against the global threshold.
+    With thresh=inf the screen never fires, so bounds must equal the plain
+    fused kernel's; with a finite thresh, surviving lbs must be unchanged
+    and screened-out lbs must still be VALID lower bounds (≥ not required
+    — screened lbs are partial sums, so ≤ the full lb and > thresh)."""
+    from goicp_tpu.bnb.se3 import evaluate_se3_nodes_mxu
+
+    src, tgt, grid = setup
+    rng = np.random.default_rng(4)
+    norms = np.linalg.norm(src, axis=1).astype(np.float32)
+    N = src.shape[0]
+    M = 8
+    R, ang, t_c, t_s = _jobs(rng, M)
+    mask = np.ones(M, bool)
+
+    ub1, lb1 = evaluate_se3_nodes_mxu(
+        jnp.asarray(src), jnp.asarray(norms), jnp.asarray(tgt),
+        jnp.float32(0.0), jnp.asarray(R), jnp.asarray(ang),
+        jnp.asarray(t_c), jnp.asarray(t_s), jnp.asarray(mask), h=0,
+    )
+    mesh = make_mesh(4, 1)
+    src_p, norms_p = pad_points(src, norms, 1, 128)
+    rnd = make_sharded_se3_round(
+        mesh, h=0, n_valid=N, lookup="nearest", backend="screen",
+        tile=128, refine_k=2, icp_params=IcpParams(max_iter=1),
+        icp_backend="exact",
+    )
+    ub2, lb2, *_ = rnd(
+        jnp.asarray(src_p), jnp.asarray(norms_p), grid, jnp.asarray(tgt),
+        jnp.float32(0.0), jnp.float32(np.inf), jnp.asarray(R),
+        jnp.asarray(ang), jnp.asarray(t_c), jnp.asarray(t_s),
+        jnp.asarray(mask), jnp.asarray(src),
+    )
+    np.testing.assert_allclose(np.asarray(ub2), np.asarray(ub1),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lb2), np.asarray(lb1),
+                               rtol=2e-5, atol=1e-6)
+
+    # finite threshold: every reported lb stays a valid lower bound of the
+    # full lb (screened-out nodes report their partial sum, which crossed
+    # the threshold — so pruning against thresh is still exact)
+    thr = float(np.median(np.asarray(lb1)))
+    _, lb3, *_ = rnd(
+        jnp.asarray(src_p), jnp.asarray(norms_p), grid, jnp.asarray(tgt),
+        jnp.float32(0.0), jnp.float32(thr), jnp.asarray(R),
+        jnp.asarray(ang), jnp.asarray(t_c), jnp.asarray(t_s),
+        jnp.asarray(mask), jnp.asarray(src),
+    )
+    lb3 = np.asarray(lb3)
+    lb1n = np.asarray(lb1)
+    assert (lb3 <= lb1n + 1e-5 * np.maximum(lb1n, 1.0)).all()
+    pruned = lb3 < lb1n - 1e-5 * np.maximum(lb1n, 1.0)
+    assert (lb3[pruned] > thr).all()
 
 
 def _tiny_problem():

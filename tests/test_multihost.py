@@ -23,7 +23,7 @@ def _free_port() -> int:
     return port
 
 
-def _run(nproc: int, tmp_path, timeout=420):
+def _run(nproc: int, tmp_path, timeout=420, mesh_cubes=1):
     outs = []
     procs = []
     env = dict(os.environ)
@@ -32,12 +32,12 @@ def _run(nproc: int, tmp_path, timeout=420):
     )
     port = _free_port()
     for pid in range(nproc):
-        out = tmp_path / f"mh_{nproc}_{pid}.json"
+        out = tmp_path / f"mh_{nproc}_{pid}_{mesh_cubes}.json"
         outs.append(out)
         procs.append(
             subprocess.Popen(
                 [sys.executable, _WORKER, str(pid), str(nproc), str(port),
-                 str(out)],
+                 str(out), str(mesh_cubes)],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -69,3 +69,16 @@ def test_two_hosts_match_single_host(tmp_path):
     # races its half of SE(3) until the shared incumbent prunes the rest)
     nodes = [r["local_nodes"] for r in duo]
     assert min(nodes) > 0, nodes
+
+
+def test_two_hosts_with_local_mesh(tmp_path):
+    """Composition of the two parallelism axes (FUTURE multihost follow-up):
+    2 processes × a local 2-device (cubes × 1) mesh per process — the
+    frontier-sharded lockstep solve with every round dispatched through
+    ``make_sharded_se3_round`` lands on the ground-truth pose on both."""
+    duo = _run(2, tmp_path, mesh_cubes=2)
+    for r in duo:
+        assert r["converged"], r
+        assert r["rmse_vs_gt"] < 1e-3, r
+        assert np.allclose(r["R"], duo[0]["R"], atol=1e-6)
+    assert min(r["local_nodes"] for r in duo) > 0

@@ -73,9 +73,9 @@ def main() -> None:
         )
         call_args = (
             jnp.asarray(sp), jnp.asarray(npd), grid, jnp.asarray(tgt),
-            jnp.float32(0), jnp.asarray(Rm), jnp.asarray(ang),
-            jnp.asarray(t_c), jnp.asarray(t_s), jnp.asarray(mask),
-            jnp.asarray(src),
+            jnp.float32(0), jnp.float32(np.inf), jnp.asarray(Rm),
+            jnp.asarray(ang), jnp.asarray(t_c), jnp.asarray(t_s),
+            jnp.asarray(mask), jnp.asarray(src),
         )
         out = rnd(*call_args)
         jax.block_until_ready(out)
