@@ -13,13 +13,20 @@ each round over an intra-process device mesh; this module adds the
   only the children whose global index ≡ ``process_id`` (mod P).  Local
   frontiers stay disjoint and jointly cover SE(3) — no duplicated work, no
   coordination needed to maintain the invariant (children inherit it).
-- **Lockstep rounds + incumbent exchange.** Each loop iteration every
-  process runs one (possibly empty) fused device round, then joins one
-  ``process_allgather`` carrying ``(best_sse, pose, min_lb, |frontier|)``.
-  Pruning against a ≤1-round-stale global incumbent is CONSERVATIVE: a
-  stale best is never below the true best, so the prune threshold is never
-  too tight — identical to the single-host pipelining argument
-  (``bnb/se3.py``).
+- **Pipelined lockstep rounds + incumbent exchange.** Each loop iteration
+  every process dispatches one fused device round ahead (up to
+  ``pipeline_depth`` in flight, hiding host↔device latency exactly like
+  the single-host engine) or absorbs the oldest, then joins one
+  ``process_allgather`` carrying ``(best_sse, pose, min_lb, |work|)``.
+  In-flight parents are counted in ``min_lb``/``|work|`` so the global
+  ε-rule stays conservative while rounds are outstanding.  Pruning against
+  a rounds-stale global incumbent is CONSERVATIVE: a stale best is never
+  below the true best, so the prune threshold is never too tight —
+  identical to the single-host pipelining argument (``bnb/se3.py``).
+- **Local device mesh.** ``mesh_cubes``/``mesh_points`` give each process
+  a (cubes × points) mesh over its own chips; rounds dispatch through
+  ``dist.se3.make_sharded_se3_round`` with purely-local collectives, so
+  the between-hosts lockstep is untouched.
 - **Rebalancing.** Every 8 lockstep iterations, if the busiest
   frontier holds >4× the idlest (or any host is empty while work remains),
   each host pops its ``exchange_k`` best nodes into a fixed-size buffer
@@ -205,7 +212,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     _slack, thresh, R_pad, ang_pad, t_pad, ts_pad, mask,
                     self._src_dev,
                 )
-                return jax.device_get(out), R_c
+                return out, R_c
             out = se3_round(
                 self._src_dev,
                 self.ev.norms,
@@ -227,7 +234,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 icp_params=self._icp_params,
                 icp_backend=self._icp_backend,
             )
-            return jax.device_get(out), R_c
+            return out, R_c
 
         def evaluate_grouped(tpay):
             """One fused GROUPED round: 8 translation-octant siblings per
@@ -268,7 +275,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     mask,
                     self._src_dev,
                 )
-                return jax.device_get(out), np.repeat(R_g, 8, axis=0)
+                return out, np.repeat(R_g, 8, axis=0)
             out = se3_round_grouped(
                 self._src_dev,
                 self.ev.norms,
@@ -290,101 +297,118 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 icp_params=self._icp_params,
                 icp_backend=self._icp_backend,
             )
-            return jax.device_get(out), np.repeat(R_g, 8, axis=0)
+            return out, np.repeat(R_g, 8, axis=0)
+
+        from collections import deque
+
+        inflight = deque()
+        depth = max(1, p.pipeline_depth)
+
+        def dispatch():
+            """Pop + expand one local round and LAUNCH its kernels (async);
+            the results are fetched by :func:`absorb`.  Purely local — no
+            collectives — so processes may run different depths in flight."""
+            pay, pop_lb, _ = frontier.pop_best(pop_cap)
+            split_rot, is_leaf = classify(pay)
+            B = pay.shape[0]
+            child = np.repeat(pay, 8, axis=0)
+            oct8 = np.tile(_OCTANTS, (B, 1))
+            sr = np.repeat(split_rot, 8)
+            lf = np.repeat(is_leaf, 8)
+            half_r = np.repeat(pay[:, 3], 8) / 2.0
+            half_t = np.repeat(pay[:, 7], 8) / 2.0
+            tr = ~sr & ~lf
+            child[sr, 0:3] += oct8[sr] * half_r[sr, None]
+            child[sr, 3] = half_r[sr]
+            child[tr, 4:7] += oct8[tr] * half_t[tr, None]
+            child[tr, 7] = half_t[tr]
+            keep = np.ones(8 * B, bool)
+            if lf.any():
+                keep &= ~lf | (np.arange(8 * B) % 8 == 0)
+            keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
+            # the identical ROOT expansion partitions children across
+            # processes; afterwards each host owns its subtree slices
+            first = rounds == 1
+            if first and P > 1:
+                keep &= (np.arange(8 * B) % P) == pid
+            tr_kept = tr[keep]
+            child, lf = child[keep], lf[keep]
+
+            # T-split children ride the grouped kernel (their 8-blocks
+            # survive `keep` intact: leaves/ball-validity only cull R-split
+            # children, and the root partition precedes any T-split);
+            # R-split children + leaves go singleton.  The root round's
+            # mod-P partition can break 8-sibling blocks (the root may
+            # itself be a T-split): evaluate everything as singletons there.
+            grouped_ok = not (first and P > 1)
+            if not grouped_ok:
+                tr_kept = np.zeros_like(tr_kept)
+            parts = []            # (child_rows, lf_rows, R_rows, out, n)
+            child_s, lf_s = child[~tr_kept], lf[~tr_kept]
+            Cs = child_s.shape[0]
+            if Cs:
+                assert Cs <= M_cap
+                m.count("se3_nodes", Cs)
+                out, R_c = evaluate(child_s, lf_s)
+                parts.append((child_s, lf_s, R_c, out, Cs))
+            tpay = pay[~split_rot & ~is_leaf] if grouped_ok else pay[:0]
+            Gt = tpay.shape[0]
+            if Gt:
+                child_t = child[tr_kept]
+                assert child_t.shape[0] == 8 * Gt
+                m.count("se3_nodes", 8 * Gt)
+                out, R_c = evaluate_grouped(tpay)
+                parts.append(
+                    (child_t, np.zeros(8 * Gt, bool), R_c, out, 8 * Gt)
+                )
+            # the popped parents are in neither the frontier nor any pushed
+            # children until absorbed: report their lb/count so the global
+            # ε-rule and emptiness test stay conservative while in flight
+            return {
+                "parts": parts,
+                "n_parents": B,
+                "min_parent_lb": float(pop_lb.min()) if B else float("inf"),
+            }
+
+        def absorb(work):
+            """Fetch one in-flight round; update incumbent, prune, push."""
+            nonlocal best_R, best_t, best_sse, leaf_lb
+            new_best = False
+            for child_o, lf_o, R_o, out, n in work["parts"]:
+                ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = \
+                    jax.device_get(out)
+                ub_c, lb_c = ub_d[:n], lb_d[:n]
+                m.count("icp_iters", int(it_ref.sum()))
+                j = int(np.argmin(sse_ref))
+                if float(sse_ref[j]) < best_sse:
+                    best_sse = float(sse_ref[j])
+                    best_R, best_t = R_ref[j], t_ref[j]
+                    new_best = True
+                j = int(np.argmin(ub_c))
+                if float(ub_c[j]) < best_sse:
+                    best_sse = float(ub_c[j])
+                    best_R, best_t = R_o[j], child_o[j, 4:7]
+                    new_best = True
+                alive = lb_c < best_sse - self.sse_thresh
+                if (alive & lf_o).any():
+                    leaf_lb = min(leaf_lb, float(lb_c[alive & lf_o].min()))
+                k2 = alive & ~lf_o
+                if k2.any():
+                    frontier.push(child_o[k2], lb_c[k2], ub_c[k2])
+            return new_best
 
         while True:
             it += 1
-            # ---- one local round (possibly empty) --------------------------
-            n_local = len(frontier)
+            # ---- local work: dispatch ahead up to `depth` rounds, absorb
+            # the oldest when saturated (or when out of frontier) — the
+            # single-host pipelining argument applies verbatim: staleness
+            # only weakens incumbent pruning; every node is still evaluated
             new_best = False
-            if n_local and not converged:
+            if len(frontier) and not converged and len(inflight) < depth:
                 rounds += 1
-                pay, _, _ = frontier.pop_best(pop_cap)
-                split_rot, is_leaf = classify(pay)
-                B = pay.shape[0]
-                child = np.repeat(pay, 8, axis=0)
-                oct8 = np.tile(_OCTANTS, (B, 1))
-                sr = np.repeat(split_rot, 8)
-                lf = np.repeat(is_leaf, 8)
-                half_r = np.repeat(pay[:, 3], 8) / 2.0
-                half_t = np.repeat(pay[:, 7], 8) / 2.0
-                tr = ~sr & ~lf
-                child[sr, 0:3] += oct8[sr] * half_r[sr, None]
-                child[sr, 3] = half_r[sr]
-                child[tr, 4:7] += oct8[tr] * half_t[tr, None]
-                child[tr, 7] = half_t[tr]
-                keep = np.ones(8 * B, bool)
-                if lf.any():
-                    keep &= ~lf | (np.arange(8 * B) % 8 == 0)
-                keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
-                # the identical root expansion partitions children across
-                # processes; afterwards each host owns its subtree slices
-                if it == 1 and P > 1:
-                    keep &= (np.arange(8 * B) % P) == pid
-                tr_kept = tr[keep]
-                child, lf = child[keep], lf[keep]
-
-                # T-split children ride the grouped kernel (their 8-blocks
-                # survive `keep` intact: leaves/ball-validity only cull
-                # R-split children, and the it==1 partition precedes any
-                # T-split); R-split children + leaves go singleton
-                outs = []          # (child_rows, lf_rows, R_rows, ub, lb)
-                # the it==1 mod-P partition can break 8-sibling blocks (the
-                # root may itself be a T-split): evaluate everything as
-                # singletons on that iteration
-                grouped_ok = not (it == 1 and P > 1)
-                if not grouped_ok:
-                    tr_kept = np.zeros_like(tr_kept)
-                child_s, lf_s = child[~tr_kept], lf[~tr_kept]
-                Cs = child_s.shape[0]
-                if Cs:
-                    assert Cs <= M_cap
-                    m.count("se3_nodes", Cs)
-                    (ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref), R_c = \
-                        evaluate(child_s, lf_s)
-                    m.count("icp_iters", int(it_ref.sum()))
-                    j = int(np.argmin(sse_ref))
-                    if float(sse_ref[j]) < best_sse:
-                        best_sse = float(sse_ref[j])
-                        best_R, best_t = R_ref[j], t_ref[j]
-                        new_best = True
-                    outs.append((child_s, lf_s, R_c, ub_d[:Cs], lb_d[:Cs]))
-                tpay = (
-                    pay[~split_rot & ~is_leaf]
-                    if grouped_ok
-                    else pay[:0]
-                )
-                Gt = tpay.shape[0]
-                if Gt:
-                    child_t = child[tr_kept]
-                    assert child_t.shape[0] == 8 * Gt
-                    m.count("se3_nodes", 8 * Gt)
-                    (ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref), R_c = \
-                        evaluate_grouped(tpay)
-                    m.count("icp_iters", int(it_ref.sum()))
-                    j = int(np.argmin(sse_ref))
-                    if float(sse_ref[j]) < best_sse:
-                        best_sse = float(sse_ref[j])
-                        best_R, best_t = R_ref[j], t_ref[j]
-                        new_best = True
-                    outs.append((
-                        child_t, np.zeros(8 * Gt, bool), R_c,
-                        ub_d[: 8 * Gt], lb_d[: 8 * Gt],
-                    ))
-                for child_o, lf_o, R_o, ub_c, lb_c in outs:
-                    j = int(np.argmin(ub_c))
-                    if float(ub_c[j]) < best_sse:
-                        best_sse = float(ub_c[j])
-                        best_R, best_t = R_o[j], child_o[j, 4:7]
-                        new_best = True
-                    alive = lb_c < best_sse - self.sse_thresh
-                    if (alive & lf_o).any():
-                        leaf_lb = min(
-                            leaf_lb, float(lb_c[alive & lf_o].min())
-                        )
-                    k2 = alive & ~lf_o
-                    if k2.any():
-                        frontier.push(child_o[k2], lb_c[k2], ub_c[k2])
+                inflight.append(dispatch())
+            elif inflight:
+                new_best = absorb(inflight.popleft())
 
             # ---- lockstep exchange (every process, every iteration) --------
             if new_best:
@@ -397,9 +421,12 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 it >= p.max_rounds
                 or time.perf_counter() - t_start > p.max_wall_s
             )
+            inflight_lb = min(
+                (w["min_parent_lb"] for w in inflight), default=float("inf")
+            )
             local = np.float32([
-                min(frontier.min_lb(), leaf_lb),
-                float(len(frontier)),
+                min(frontier.min_lb(), leaf_lb, inflight_lb),
+                float(len(frontier) + sum(w["n_parents"] for w in inflight)),
                 want_stop,
             ])
             allg = _allgather_np(local)                    # [P, 3]
@@ -439,6 +466,17 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                         merged[mine, :8], merged[mine, 8], merged[mine, 9]
                     )
                 m.count("rebalances", 1)
+
+        # drain the pipeline: in-flight rounds may still hold a better
+        # incumbent (their ICP refines were dispatched pre-convergence);
+        # absorbing is local, then ONE unconditional exchange restores the
+        # lockstep-identical incumbent (every process breaks on the same
+        # iteration, so the collective count stays uniform)
+        while inflight:
+            absorb(inflight.popleft())
+        best_R, best_t, best_sse = self._exchange_incumbent(
+            best_R, best_t, best_sse
+        )
 
         # full-resolution polish (bound_points-capped solves): the incumbent
         # is exchange-identical on every process and the polish is
