@@ -120,16 +120,47 @@ class GoIcpSolverMultiHost(GoIcpSolver):
              *p.trans_center, p.trans_span],
             np.float32,
         )
-        # EVERY process pushes the root and expands it identically on the
-        # first iteration, keeping only children with index ≡ pid (mod P) —
-        # a disjoint exact cover with no coordination
-        frontier.push(
-            root[None], np.zeros(1, np.float32),
-            np.full(1, np.inf, np.float32),
-        )
 
         leaf_lb = float("inf")
         rounds = 0          # local work rounds (metrics only)
+
+        # checkpoint/resume: each process snapshots ITS OWN frontier slice
+        # (plus the exchanged incumbent) at the same global iteration, so
+        # the P files form a consistent cut of the distributed search.
+        # Resume requires the same process count and happens only if EVERY
+        # process finds its slice (an allgathered flag keeps the decision
+        # unanimous — a partial resume would double-cover SE(3) regions).
+        import os
+
+        ck_path = (
+            f"{p.checkpoint_path}.p{pid}of{P}" if p.checkpoint_path else None
+        )
+        have_ck = float(bool(ck_path and os.path.exists(ck_path)))
+        resume = bool(_allgather_np(np.float32([have_ck])).min() > 0)
+        if resume:
+            ck = np.load(ck_path)
+            frontier.push(ck["payload"], ck["lb"], ck["ub"])
+            if float(ck["best_sse"]) < best_sse:
+                best_sse = float(ck["best_sse"])
+                best_R, best_t = ck["best_R"], ck["best_t"]
+            leaf_lb = float(ck["leaf_lb"])
+            rounds = int(ck["rounds"])
+            m.count("se3_nodes", int(ck["nodes"]))
+            self.log.info(
+                "[p%d/%d] resumed from %s: round %d, frontier %d, best %.6g",
+                pid, P, ck_path, rounds, len(frontier), best_sse,
+            )
+            # rounds >= 1 after any snapshot, so the root mod-P partition
+            # (dispatch's `first` flag) never re-fires on resumed state
+            assert rounds >= 1
+        else:
+            # EVERY process pushes the root and expands it identically on
+            # the first round, keeping only children with index ≡ pid
+            # (mod P) — a disjoint exact cover with no coordination
+            frontier.push(
+                root[None], np.zeros(1, np.float32),
+                np.full(1, np.inf, np.float32),
+            )
         it = 0              # GLOBAL lockstep iteration — advances on every
                             # process every loop, so every collective-gating
                             # condition below derives from identical values
@@ -363,9 +394,12 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 )
             # the popped parents are in neither the frontier nor any pushed
             # children until absorbed: report their lb/count so the global
-            # ε-rule and emptiness test stay conservative while in flight
+            # ε-rule and emptiness test stay conservative while in flight,
+            # and keep their payloads so checkpoints can re-include them
+            # (re-expansion on resume is idempotent)
             return {
                 "parts": parts,
+                "parents": (pay, pop_lb),
                 "n_parents": B,
                 "min_parent_lb": float(pop_lb.min()) if B else float("inf"),
             }
@@ -397,6 +431,32 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     frontier.push(child_o[k2], lb_c[k2], ub_c[k2])
             return new_best
 
+        def save_checkpoint():
+            """Atomic per-process snapshot.  In-flight rounds' popped parents
+            are re-included (they are in neither the frontier nor any pushed
+            children yet — same pipeline-safety rule as ``bnb/se3.py``)."""
+            pay, lb, ub = frontier.dump()
+            for w in inflight:
+                ppay, plb = w["parents"]
+                if ppay.shape[0]:
+                    pay = np.concatenate([pay, ppay])
+                    lb = np.concatenate([lb, plb])
+                    ub = np.concatenate(
+                        [ub, np.full(ppay.shape[0], np.inf, np.float32)]
+                    )
+            tmp = ck_path + ".tmp.npz"
+            np.savez(
+                tmp,
+                payload=pay, lb=lb, ub=ub,
+                best_R=best_R, best_t=best_t,
+                best_sse=np.float32(best_sse),
+                leaf_lb=np.float32(leaf_lb),
+                rounds=np.int64(max(rounds, 1)),
+                nodes=np.int64(m.counters.get("se3_nodes", 0)),
+                nproc=np.int64(P),
+            )
+            os.replace(tmp, ck_path)
+
         while True:
             it += 1
             # ---- local work: dispatch ahead up to `depth` rounds, absorb
@@ -417,6 +477,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 best_R, best_t, best_sse
             )
             frontier.prune(best_sse - self.sse_thresh)
+            # `it` is global, so all P slices snapshot at the same cut
+            if ck_path and it % max(p.checkpoint_every, 1) == 0:
+                save_checkpoint()
             want_stop = float(
                 it >= p.max_rounds
                 or time.perf_counter() - t_start > p.max_wall_s

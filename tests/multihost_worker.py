@@ -1,7 +1,8 @@
 """Worker process for tests/test_multihost.py: one simulated host of a
 frontier-sharded Go-ICP solve (Gloo CPU backend).  Not a test module.
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <out.json> [mesh_cubes]
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.json> \
+           [mesh_cubes] [checkpoint_path] [max_rounds]
 
 ``mesh_cubes > 1`` composes the between-hosts frontier sharding with a
 within-host (cubes × 1) local device mesh — every process runs its rounds
@@ -19,6 +20,8 @@ pid, nproc, port, out_path = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
 mesh_cubes = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+checkpoint_path = sys.argv[6] if len(sys.argv) > 6 else ""
+max_rounds = int(sys.argv[7]) if len(sys.argv) > 7 else 600
 if nproc > 1:
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
@@ -54,9 +57,11 @@ params = BnbParams(
     # DISCOVER it — the frontier slices carry real distributed search work
     init_multistart=1,
     refine_top_k=4,
-    max_rounds=600,
+    max_rounds=max_rounds,
     max_wall_s=240.0,
     mesh_cubes=mesh_cubes,
+    checkpoint_path=checkpoint_path or None,
+    checkpoint_every=3,
 )
 # make_solver auto-routes: multi-process launches get the frontier-sharded
 # multi-host engine, single-process the production SE(3) engine

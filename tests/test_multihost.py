@@ -23,7 +23,8 @@ def _free_port() -> int:
     return port
 
 
-def _run(nproc: int, tmp_path, timeout=420, mesh_cubes=1):
+def _run(nproc: int, tmp_path, timeout=420, mesh_cubes=1, checkpoint="",
+         max_rounds=600, tag=""):
     outs = []
     procs = []
     env = dict(os.environ)
@@ -32,12 +33,13 @@ def _run(nproc: int, tmp_path, timeout=420, mesh_cubes=1):
     )
     port = _free_port()
     for pid in range(nproc):
-        out = tmp_path / f"mh_{nproc}_{pid}_{mesh_cubes}.json"
+        out = tmp_path / f"mh_{nproc}_{pid}_{mesh_cubes}{tag}.json"
         outs.append(out)
         procs.append(
             subprocess.Popen(
                 [sys.executable, _WORKER, str(pid), str(nproc), str(port),
-                 str(out), str(mesh_cubes)],
+                 str(out), str(mesh_cubes), str(checkpoint),
+                 str(max_rounds)],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -82,3 +84,22 @@ def test_two_hosts_with_local_mesh(tmp_path):
         assert r["rmse_vs_gt"] < 1e-3, r
         assert np.allclose(r["R"], duo[0]["R"], atol=1e-6)
     assert min(r["local_nodes"] for r in duo) > 0
+
+
+def test_checkpoint_resume_two_hosts(tmp_path):
+    """Distributed restart-based recovery (SURVEY §5 — the reference has
+    none): stop a 2-process solve early via max_rounds, then resume from
+    the per-process frontier slices and converge to the ground truth."""
+    ck = str(tmp_path / "mh.ck")
+    first = _run(2, tmp_path, checkpoint=ck, max_rounds=6, tag="_a")
+    assert not any(r["converged"] for r in first), first
+    for pid in range(2):
+        assert os.path.exists(f"{ck}.p{pid}of2"), "missing slice snapshot"
+
+    resumed = _run(2, tmp_path, checkpoint=ck, max_rounds=600, tag="_b")
+    for r in resumed:
+        assert r["converged"], r
+        assert r["rmse_vs_gt"] < 1e-3, r
+        assert np.allclose(r["R"], resumed[0]["R"], atol=1e-6)
+    # the resumed solve continued from the snapshot, not from scratch
+    assert min(r["rounds"] for r in resumed) > 6
