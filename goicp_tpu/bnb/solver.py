@@ -890,15 +890,20 @@ def make_solver(
     tgt,
     params: BnbParams = BnbParams(),
     progress: Optional[ProgressBus] = None,
+    local: bool = False,
 ) -> GoIcpSolver:
     """Engine dispatch: "se3" (flat product-space, default) or "nested".
 
     Under a multi-process ``jax.distributed`` launch (every process running
     the same program, one per host) the SE(3) engine routes to the
     frontier-sharded multi-host solver automatically — single-process
-    behavior is untouched."""
+    behavior is untouched.  ``local=True`` pins the collective-free
+    single-host engine even under multi-process (used when work is already
+    partitioned at a higher level, e.g. pair sharding in
+    ``multipair.register_pairs_distributed`` — hosts solving different
+    problems must not issue solver collectives)."""
     if params.engine == "se3":
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and not local:
             from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
 
             return GoIcpSolverMultiHost(src, tgt, params, progress)

@@ -8,9 +8,12 @@ is to batch them:
 - :func:`icp_pairs` — one device dispatch refines B pose hypotheses, one per
   pair, with per-pair padded clouds (a pure ``vmap`` of the batched ICP);
 - :func:`register_pairs` — full Go-ICP per pair; compiled executables are
-  shared across same-shaped pairs (module-level jit caches), and pairs can
-  be spread over hosts by slicing the list (each host runs its slice; the
-  cube axis *within* a solve is the `dist.sharded_bounds_step` path).
+  shared across same-shaped pairs (module-level jit caches), with an
+  optional pair-axis ``Mesh`` for within-host device sharding;
+- :func:`register_pairs_distributed` — pairs sharded round-robin across
+  ``jax.process_count()`` hosts (each host lockstep-batches its slice with
+  collective-free solvers), one allgather rebuilds the full result list on
+  every process.
 """
 
 from __future__ import annotations
@@ -78,6 +81,7 @@ def register_pairs(
     params: BnbParams = BnbParams(),
     batched: bool = True,
     mesh=None,
+    local: bool = False,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair.
 
@@ -104,7 +108,7 @@ def register_pairs(
     )
     if lockstep_ok:
         return _register_pairs_lockstep(pairs, p, mesh=mesh)
-    return [make_solver(s, t, params).run() for s, t in pairs]
+    return [make_solver(s, t, params, local=local).run() for s, t in pairs]
 
 
 # ---------------------------------------------------------------------------
@@ -371,4 +375,91 @@ def _register_pairs_lockstep(
                 metrics=Metrics(),
             )
         )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# multi-HOST pair sharding: the pod-scale serving surface across processes
+# ---------------------------------------------------------------------------
+
+
+def register_pairs_distributed(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    params: BnbParams = BnbParams(),
+    batched: bool = True,
+) -> List[GoIcpResult]:
+    """Globally-optimal registration of every pair, pairs sharded across
+    ``jax.process_count()`` processes (the between-hosts axis of the
+    pod-scale multipair scenario; the within-host axis is
+    :func:`register_pairs`'s lockstep/mesh batching).
+
+    Process ``i`` solves ``pairs[i::P]`` locally (no collectives inside —
+    each host's solves run independently at full device utilization), then
+    one ``process_allgather`` rebuilds the FULL result list on every
+    process.  ``GoIcpResult.metrics`` is process-local and only populated
+    for locally-solved pairs; remote results carry an empty ``Metrics``.
+
+    With ``process_count() == 1`` this is exactly :func:`register_pairs`.
+    """
+    P = jax.process_count()
+    if P <= 1:
+        return register_pairs(pairs, params, batched=batched)
+
+    from jax.experimental import multihost_utils
+
+    pid = jax.process_index()
+    n = len(pairs)
+    mine = list(range(pid, n, P))
+    # local=True: hosts solve DIFFERENT pair slices, so the per-pair solver
+    # must stay collective-free (the multi-host engine would deadlock on
+    # mismatched allgather sequences across hosts)
+    local = (
+        register_pairs(
+            [pairs[i] for i in mine], params, batched=batched, local=True
+        )
+        if mine
+        else []
+    )
+
+    # pack local results into a fixed-shape float record for the gather:
+    # [R 9 | t 3 | sse mse converged gap nodes iters rounds wall] = 20
+    per = -(-n // P)
+    buf = np.full((per, 20), np.nan, np.float32)
+    for row, res in enumerate(local):
+        buf[row, 0:9] = np.asarray(res.transform.R, np.float32).reshape(9)
+        buf[row, 9:12] = np.asarray(res.transform.t, np.float32)
+        buf[row, 12:20] = (
+            res.sse, res.mse, float(res.converged), res.gap,
+            res.rot_nodes, res.icp_iters, res.rounds, res.wall_s,
+        )
+    allb = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(buf))
+    )                                                     # [P, per, 20]
+
+    results: List[Optional[GoIcpResult]] = [None] * n
+    for i in mine:
+        results[i] = local[mine.index(i)]
+    for src_pid in range(P):
+        if src_pid == pid:
+            continue
+        their = range(src_pid, n, P)
+        for row, i in enumerate(their):
+            r = allb[src_pid, row]
+            results[i] = GoIcpResult(
+                transform=RigidTransform(
+                    r[0:9].reshape(3, 3).astype(np.float32),
+                    r[9:12].astype(np.float32),
+                ),
+                sse=float(r[12]),
+                mse=float(r[13]),
+                converged=bool(r[14] > 0.5),
+                gap=float(r[15]),
+                rot_nodes=int(r[16]),
+                trans_nodes=int(r[16]),
+                icp_iters=int(r[17]),
+                rounds=int(r[18]),
+                wall_s=float(r[19]),
+                metrics=Metrics(),
+            )
+    assert all(res is not None for res in results)
     return results

@@ -112,3 +112,41 @@ def test_register_pairs_mesh_sharded(rng):
         pts = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
         rmse = float(np.sqrt(np.mean(np.sum((pts - t) ** 2, axis=1))))
         assert rmse < 5e-3, rmse
+
+
+def test_register_pairs_distributed_two_hosts(tmp_path):
+    """Pod-scale multipair: pairs sharded across 2 real processes (Gloo),
+    every process returns the FULL converged result list identically."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multipair_worker.py")
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(here) + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    outs, procs = [], []
+    for pid in range(2):
+        out = tmp_path / f"mp_{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    recs = []
+    for pr, out in zip(procs, outs):
+        stdout, _ = pr.communicate(timeout=420)
+        assert pr.returncode == 0, stdout.decode()[-2000:]
+        with open(out) as f:
+            recs.append(json.load(f))
+    assert len(recs[0]) == len(recs[1]) == 3
+    for a, b in zip(recs[0], recs[1]):
+        assert a["converged"] and b["converged"]
+        assert a["rmse_vs_gt"] < 1e-3 and b["rmse_vs_gt"] < 1e-3
+        assert np.allclose(a["R"], b["R"], atol=1e-6)
