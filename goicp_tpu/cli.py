@@ -209,6 +209,13 @@ def run_scenario(
         pass
     if rec.states:
         rec.dump_csv(os.path.join(outdir, "trajectory.csv"))
+        from goicp_tpu.viz import render_html
+
+        # interactive replay of the solve (incumbent red / explored white /
+        # model blue) — the headless form of watching the reference's window
+        render_html(
+            os.path.splitext(viz_path)[0] + ".html", tgt, src, rec.states
+        )
     if out["metrics"]:
         import json
 

@@ -180,3 +180,176 @@ class TrajectoryRecorder:
                 f.write(
                     f"{s.round},{s.best_sse!r},{s.gap!r},{s.rot_nodes},{s.trans_nodes}\n"
                 )
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>goicp_tpu — registration replay</title>
+<style>
+  body { margin:0; background:#101014; color:#ddd;
+         font:13px/1.4 system-ui, sans-serif; }
+  #hud { position:fixed; top:0; left:0; right:0; padding:8px 12px;
+         display:flex; gap:12px; align-items:center;
+         background:rgba(16,16,20,.85); }
+  #hud input[type=range] { flex:1; }
+  button { background:#26262e; color:#ddd; border:1px solid #444;
+           border-radius:4px; padding:2px 10px; cursor:pointer; }
+  canvas { display:block; }
+  .sw { display:inline-block; width:10px; height:10px; border-radius:2px;
+        margin-right:4px; vertical-align:-1px; }
+</style></head><body>
+<div id="hud">
+  <button id="play">&#9654;</button>
+  <input id="round" type="range" min="0" max="0" value="0">
+  <span id="label"></span>
+  <span><span class="sw" style="background:#4060ff"></span>model</span>
+  <span><span class="sw" style="background:#ff4040"></span>incumbent</span>
+  <label><input id="showcur" type="checkbox" checked>
+    <span class="sw" style="background:#eee"></span>explored</label>
+</div>
+<canvas id="c"></canvas>
+<script>
+const DATA = /*DATA*/;
+const canvas = document.getElementById("c"), ctx = canvas.getContext("2d");
+const slider = document.getElementById("round"),
+      label = document.getElementById("label"),
+      playBtn = document.getElementById("play"),
+      showCur = document.getElementById("showcur");
+let yaw = 0.6, pitch = 0.35, zoom = 1.0, drag = null, playing = null;
+slider.max = Math.max(DATA.traj.length - 1, 0);
+slider.value = slider.max;
+function resize() {
+  canvas.width = innerWidth; canvas.height = innerHeight;
+  draw();
+}
+addEventListener("resize", resize);
+canvas.addEventListener("mousedown", e => drag = [e.clientX, e.clientY]);
+addEventListener("mouseup", () => drag = null);
+addEventListener("mousemove", e => {
+  if (!drag) return;
+  yaw += (e.clientX - drag[0]) * 0.008;
+  pitch += (e.clientY - drag[1]) * 0.008;
+  pitch = Math.max(-1.55, Math.min(1.55, pitch));
+  drag = [e.clientX, e.clientY]; draw();
+});
+canvas.addEventListener("wheel", e => {
+  e.preventDefault();
+  zoom *= Math.exp(-e.deltaY * 0.001); draw();
+}, {passive: false});
+slider.addEventListener("input", draw);
+showCur.addEventListener("change", draw);
+playBtn.addEventListener("click", () => {
+  if (playing) { clearInterval(playing); playing = null;
+                 playBtn.innerHTML = "&#9654;"; return; }
+  if (+slider.value >= +slider.max) slider.value = 0;
+  playBtn.innerHTML = "&#9646;&#9646;";
+  playing = setInterval(() => {
+    slider.value = +slider.value + 1; draw();
+    if (+slider.value >= +slider.max) {
+      clearInterval(playing); playing = null; playBtn.innerHTML = "&#9654;";
+    }
+  }, 60);
+});
+function apply(P, R, t) {
+  const out = new Float32Array(P.length);
+  for (let i = 0; i < P.length; i += 3) {
+    const x = P[i], y = P[i+1], z = P[i+2];
+    out[i]   = R[0]*x + R[1]*y + R[2]*z + t[0];
+    out[i+1] = R[3]*x + R[4]*y + R[5]*z + t[1];
+    out[i+2] = R[6]*x + R[7]*y + R[8]*z + t[2];
+  }
+  return out;
+}
+function drawCloud(P, color, s) {
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const cx = canvas.width / 2, cz = canvas.height / 2 + 14;
+  ctx.fillStyle = color;
+  for (let i = 0; i < P.length; i += 3) {
+    const x0 = P[i] - DATA.center[0], y0 = P[i+1] - DATA.center[1],
+          z0 = P[i+2] - DATA.center[2];
+    const x1 = cy*x0 + sy*z0, z1 = -sy*x0 + cy*z0;
+    const y2 = cp*y0 - sp*z1;
+    ctx.fillRect(cx + x1*s, cz - y2*s, 2, 2);
+  }
+}
+function draw() {
+  ctx.fillStyle = "#101014";
+  ctx.fillRect(0, 0, canvas.width, canvas.height);
+  const s = zoom * Math.min(canvas.width, canvas.height) * 0.45 / DATA.radius;
+  const k = Math.min(+slider.value, DATA.traj.length - 1);
+  drawCloud(DATA.target, "#4060ff", s);
+  if (k >= 0) {
+    const st = DATA.traj[k];
+    if (showCur.checked && k < DATA.traj.length - 1)
+      drawCloud(apply(DATA.source, st.cR, st.ct), "#e8e8e8", s);
+    drawCloud(apply(DATA.source, st.R, st.t), "#ff4040", s);
+    label.textContent = "round " + st.round + "  best_sse " +
+      st.sse.toExponential(3) + "  gap " + st.gap.toExponential(2) +
+      "  nodes " + st.nodes;
+  } else {
+    label.textContent = "no trajectory recorded";
+  }
+}
+resize();
+</script></body></html>
+"""
+
+
+def render_html(
+    path: str,
+    target: np.ndarray,
+    source: np.ndarray,
+    states: list,
+    max_points: int = 4000,
+    max_states: int = 400,
+):
+    """Self-contained interactive HTML replay of the solve — the headless
+    framework's answer to the reference's live GL window
+    (``window.cpp:182-227``, colors ≙ ``kernel.cu:114-118``): orbit/zoom
+    with the mouse, scrub or play the BnB trajectory (incumbent red,
+    currently-explored white, model blue).  No dependencies; clouds are
+    deterministically thinned to ``max_points`` and the trajectory strided
+    to ``max_states`` so the file stays a few MB."""
+    import json
+
+    def thin(c):
+        c = np.asarray(c, np.float32)
+        if c.shape[0] > max_points:
+            c = c[:: c.shape[0] // max_points + 1]
+        return c
+
+    tgt = thin(target)
+    src = thin(source)
+    if len(states) > max_states:
+        stride = len(states) // max_states + 1
+        states = states[::stride] + [states[-1]]
+    both = np.concatenate([tgt, src]) if src.size else tgt
+    center = both.mean(0)
+    radius = float(np.linalg.norm(both - center, axis=1).max() or 1.0)
+
+    def f(x):
+        return [round(float(v), 6) for v in np.asarray(x, np.float64).ravel()]
+
+    data = {
+        "target": f(tgt),
+        "source": f(src),
+        "center": f(center),
+        "radius": round(radius, 6),
+        "traj": [
+            {
+                "round": int(s.round),
+                "sse": float(s.best_sse),
+                "gap": float(max(s.gap, 0.0)) if np.isfinite(s.gap) else 0.0,
+                "nodes": int(s.rot_nodes),
+                "R": f(s.opt_R), "t": f(s.opt_t),
+                "cR": f(s.cur_R), "ct": f(s.cur_t),
+            }
+            for s in states
+        ],
+    }
+    with open(path, "w") as fp:
+        fp.write(
+            _HTML_TEMPLATE.replace(
+                "/*DATA*/", json.dumps(data, separators=(",", ":"))
+            )
+        )

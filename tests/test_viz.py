@@ -67,3 +67,44 @@ def test_live_snapshotter_throttles(tmp_path):
     # ...but the terminal state always writes
     bus.publish(_state(10, finished=True))
     assert len(os.listdir(tmp_path / "s")) == 2
+
+
+def test_render_html_replay(tmp_path):
+    """The interactive HTML replay (C20: the reference's live window, made
+    headless): self-contained file embedding clouds + trajectory."""
+    import json
+    import re
+
+    import numpy as np
+
+    from goicp_tpu.core.progress import SolverState
+    from goicp_tpu.viz import render_html
+
+    rng = np.random.default_rng(3)
+    tgt = rng.random((500, 3)).astype(np.float32)
+    src = rng.random((400, 3)).astype(np.float32)
+    states = [
+        SolverState(
+            opt_R=np.eye(3, dtype=np.float32),
+            opt_t=np.float32([0.1 * k, 0, 0]),
+            cur_R=np.eye(3, dtype=np.float32),
+            cur_t=np.zeros(3, np.float32),
+            best_sse=1.0 / (k + 1),
+            gap=0.5 / (k + 1),
+            finished=k == 9,
+            rot_nodes=100 * k,
+            trans_nodes=100 * k,
+            round=k,
+        )
+        for k in range(10)
+    ]
+    path = tmp_path / "viz.html"
+    render_html(str(path), tgt, src, states)
+    html = path.read_text()
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    assert m, "embedded DATA not found"
+    data = json.loads(m.group(1))
+    assert len(data["traj"]) == 10
+    assert data["traj"][-1]["round"] == 9
+    assert len(data["target"]) == 3 * min(500, 4000)
+    assert "canvas" in html and "slider" in html
