@@ -114,7 +114,34 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
             return split_rot, is_leaf
 
-        frontier = make_frontier(8)
+        # TWO frontiers partitioned by next-split type (same design as the
+        # single-host engine): every round is HOMOGENEOUS — T-rounds run the
+        # grouped 8-sibling kernel at full occupancy, R-rounds (and leaves)
+        # the singleton kernel.  A mixed pop would pay both kernels at full
+        # padded width (~2× compute per round, measured on the scaling
+        # harness).  Best-first order is preserved by popping whichever
+        # frontier holds the smaller lb.
+        fR = make_frontier(8)
+        fT = make_frontier(8)
+
+        def push_classified(pay, lb, ub):
+            split_rot, is_leaf = classify(pay)
+            to_t = ~split_rot & ~is_leaf
+            if to_t.any():
+                fT.push(pay[to_t], lb[to_t], ub[to_t])
+            if not to_t.all():
+                fR.push(pay[~to_t], lb[~to_t], ub[~to_t])
+
+        def f_len():
+            return len(fR) + len(fT)
+
+        def f_min_lb():
+            return min(fR.min_lb(), fT.min_lb())
+
+        def f_prune(thr):
+            fR.prune(thr)
+            fT.prune(thr)
+
         root = np.array(
             [0.0, 0.0, 0.0, self.rotparam.root_span,
              *p.trans_center, p.trans_span],
@@ -139,7 +166,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         resume = bool(_allgather_np(np.float32([have_ck])).min() > 0)
         if resume:
             ck = np.load(ck_path)
-            frontier.push(ck["payload"], ck["lb"], ck["ub"])
+            push_classified(ck["payload"], ck["lb"], ck["ub"])
             if float(ck["best_sse"]) < best_sse:
                 best_sse = float(ck["best_sse"])
                 best_R, best_t = ck["best_R"], ck["best_t"]
@@ -148,7 +175,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             m.count("se3_nodes", int(ck["nodes"]))
             self.log.info(
                 "[p%d/%d] resumed from %s: round %d, frontier %d, best %.6g",
-                pid, P, ck_path, rounds, len(frontier), best_sse,
+                pid, P, ck_path, rounds, f_len(), best_sse,
             )
             # rounds >= 1 after any snapshot, so the root mod-P partition
             # (dispatch's `first` flag) never re-fires on resumed state
@@ -157,7 +184,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # EVERY process pushes the root and expands it identically on
             # the first round, keeping only children with index ≡ pid
             # (mod P) — a disjoint exact cover with no coordination
-            frontier.push(
+            push_classified(
                 root[None], np.zeros(1, np.float32),
                 np.full(1, np.inf, np.float32),
             )
@@ -336,62 +363,64 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         depth = max(1, p.pipeline_depth)
 
         def dispatch():
-            """Pop + expand one local round and LAUNCH its kernels (async);
-            the results are fetched by :func:`absorb`.  Purely local — no
-            collectives — so processes may run different depths in flight."""
-            pay, pop_lb, _ = frontier.pop_best(pop_cap)
-            split_rot, is_leaf = classify(pay)
-            B = pay.shape[0]
-            child = np.repeat(pay, 8, axis=0)
-            oct8 = np.tile(_OCTANTS, (B, 1))
-            sr = np.repeat(split_rot, 8)
-            lf = np.repeat(is_leaf, 8)
-            half_r = np.repeat(pay[:, 3], 8) / 2.0
-            half_t = np.repeat(pay[:, 7], 8) / 2.0
-            tr = ~sr & ~lf
-            child[sr, 0:3] += oct8[sr] * half_r[sr, None]
-            child[sr, 3] = half_r[sr]
-            child[tr, 4:7] += oct8[tr] * half_t[tr, None]
-            child[tr, 7] = half_t[tr]
-            keep = np.ones(8 * B, bool)
-            if lf.any():
-                keep &= ~lf | (np.arange(8 * B) % 8 == 0)
-            keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
-            # the identical ROOT expansion partitions children across
-            # processes; afterwards each host owns its subtree slices
+            """Pop + expand one HOMOGENEOUS local round and LAUNCH its
+            kernel (async); the results are fetched by :func:`absorb`.
+            Purely local — no collectives — so processes may run different
+            depths in flight.  T-rounds ride the grouped 8-sibling kernel;
+            R-rounds (and leaves) the singleton kernel.  The FIRST round is
+            always singleton: its mod-P child partition breaks 8-sibling
+            blocks (the root may itself be a T-split)."""
             first = rounds == 1
-            if first and P > 1:
-                keep &= (np.arange(8 * B) % P) == pid
-            tr_kept = tr[keep]
-            child, lf = child[keep], lf[keep]
-
-            # T-split children ride the grouped kernel (their 8-blocks
-            # survive `keep` intact: leaves/ball-validity only cull R-split
-            # children, and the root partition precedes any T-split);
-            # R-split children + leaves go singleton.  The root round's
-            # mod-P partition can break 8-sibling blocks (the root may
-            # itself be a T-split): evaluate everything as singletons there.
-            grouped_ok = not (first and P > 1)
-            if not grouped_ok:
-                tr_kept = np.zeros_like(tr_kept)
-            parts = []            # (child_rows, lf_rows, R_rows, out, n)
-            child_s, lf_s = child[~tr_kept], lf[~tr_kept]
-            Cs = child_s.shape[0]
-            if Cs:
-                assert Cs <= M_cap
-                m.count("se3_nodes", Cs)
-                out, R_c = evaluate(child_s, lf_s)
-                parts.append((child_s, lf_s, R_c, out, Cs))
-            tpay = pay[~split_rot & ~is_leaf] if grouped_ok else pay[:0]
-            Gt = tpay.shape[0]
-            if Gt:
-                child_t = child[tr_kept]
-                assert child_t.shape[0] == 8 * Gt
-                m.count("se3_nodes", 8 * Gt)
-                out, R_c = evaluate_grouped(tpay)
-                parts.append(
-                    (child_t, np.zeros(8 * Gt, bool), R_c, out, 8 * Gt)
-                )
+            use_T = (
+                not first
+                and len(fT)
+                and (not len(fR) or fT.min_lb() <= fR.min_lb())
+            )
+            if use_T:
+                pay, pop_lb, _ = fT.pop_best(pop_cap)
+                B = pay.shape[0]
+                m.count("se3_nodes", 8 * B)
+                half_t = pay[:, 7] / 2.0
+                child = np.repeat(pay, 8, axis=0)
+                child[:, 4:7] = (
+                    pay[:, None, 4:7]
+                    + _OCTANTS[None] * half_t[:, None, None]
+                ).reshape(8 * B, 3)
+                child[:, 7] = np.repeat(half_t, 8)
+                out, R_c = evaluate_grouped(pay)
+                parts = [(child, np.zeros(8 * B, bool), R_c, out, 8 * B)]
+            else:
+                src_f = fR if len(fR) else fT
+                pay, pop_lb, _ = src_f.pop_best(pop_cap)
+                split_rot, is_leaf = classify(pay)
+                B = pay.shape[0]
+                child = np.repeat(pay, 8, axis=0)
+                oct8 = np.tile(_OCTANTS, (B, 1))
+                sr = np.repeat(split_rot, 8)
+                lf = np.repeat(is_leaf, 8)
+                half_r = np.repeat(pay[:, 3], 8) / 2.0
+                half_t = np.repeat(pay[:, 7], 8) / 2.0
+                tr = ~sr & ~lf       # only possible on the first round
+                child[sr, 0:3] += oct8[sr] * half_r[sr, None]
+                child[sr, 3] = half_r[sr]
+                child[tr, 4:7] += oct8[tr] * half_t[tr, None]
+                child[tr, 7] = half_t[tr]
+                keep = np.ones(8 * B, bool)
+                if lf.any():
+                    keep &= ~lf | (np.arange(8 * B) % 8 == 0)
+                keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
+                # the identical ROOT expansion partitions children across
+                # processes; afterwards each host owns its subtree slices
+                if first and P > 1:
+                    keep &= (np.arange(8 * B) % P) == pid
+                child, lf = child[keep], lf[keep]
+                Cs = child.shape[0]
+                parts = []
+                if Cs:
+                    assert Cs <= M_cap
+                    m.count("se3_nodes", Cs)
+                    out, R_c = evaluate(child, lf)
+                    parts = [(child, lf, R_c, out, Cs)]
             # the popped parents are in neither the frontier nor any pushed
             # children until absorbed: report their lb/count so the global
             # ε-rule and emptiness test stay conservative while in flight,
@@ -428,14 +457,18 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     leaf_lb = min(leaf_lb, float(lb_c[alive & lf_o].min()))
                 k2 = alive & ~lf_o
                 if k2.any():
-                    frontier.push(child_o[k2], lb_c[k2], ub_c[k2])
+                    push_classified(child_o[k2], lb_c[k2], ub_c[k2])
             return new_best
 
         def save_checkpoint():
             """Atomic per-process snapshot.  In-flight rounds' popped parents
             are re-included (they are in neither the frontier nor any pushed
             children yet — same pipeline-safety rule as ``bnb/se3.py``)."""
-            pay, lb, ub = frontier.dump()
+            payR, lbR, ubR = fR.dump()
+            payT, lbT, ubT = fT.dump()
+            pay = np.concatenate([payR, payT])
+            lb = np.concatenate([lbR, lbT])
+            ub = np.concatenate([ubR, ubT])
             for w in inflight:
                 ppay, plb = w["parents"]
                 if ppay.shape[0]:
@@ -459,24 +492,29 @@ class GoIcpSolverMultiHost(GoIcpSolver):
 
         while True:
             it += 1
-            # ---- local work: dispatch ahead up to `depth` rounds, absorb
-            # the oldest when saturated (or when out of frontier) — the
-            # single-host pipelining argument applies verbatim: staleness
-            # only weakens incumbent pruning; every node is still evaluated
+            # ---- local work: dispatch ahead up to `depth` rounds AND
+            # absorb the oldest once saturated (one dispatch + one absorb
+            # per lockstep iteration in steady state — full round rate with
+            # a depth-deep pipeline).  The single-host pipelining argument
+            # applies verbatim: staleness only weakens incumbent pruning;
+            # every node is still evaluated.
             new_best = False
-            if len(frontier) and not converged and len(inflight) < depth:
+            if f_len() and not converged and len(inflight) < depth:
                 rounds += 1
                 inflight.append(dispatch())
-            elif inflight:
+            if inflight and (
+                len(inflight) >= depth
+                or not (f_len() and not converged)
+            ):
                 new_best = absorb(inflight.popleft())
 
             # ---- lockstep exchange (every process, every iteration) --------
             if new_best:
-                frontier.prune(best_sse - self.sse_thresh)
+                f_prune(best_sse - self.sse_thresh)
             best_R, best_t, best_sse = self._exchange_incumbent(
                 best_R, best_t, best_sse
             )
-            frontier.prune(best_sse - self.sse_thresh)
+            f_prune(best_sse - self.sse_thresh)
             # `it` is global, so all P slices snapshot at the same cut
             if ck_path and it % max(p.checkpoint_every, 1) == 0:
                 save_checkpoint()
@@ -488,8 +526,8 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 (w["min_parent_lb"] for w in inflight), default=float("inf")
             )
             local = np.float32([
-                min(frontier.min_lb(), leaf_lb, inflight_lb),
-                float(len(frontier) + sum(w["n_parents"] for w in inflight)),
+                min(f_min_lb(), leaf_lb, inflight_lb),
+                float(f_len() + sum(w["n_parents"] for w in inflight)),
                 want_stop,
             ])
             allg = _allgather_np(local)                    # [P, 3]
@@ -513,8 +551,12 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 it % 8 == 0
                 and sizes.max() > 4 * max(sizes.min(), 1.0)
             ):
-                pay, lb, ub = frontier.pop_best(exchange_k)
-                buf = np.full((exchange_k, 10), np.inf, np.float32)
+                payR, lbR, ubR = fR.pop_best(exchange_k)
+                payT, lbT, ubT = fT.pop_best(exchange_k)
+                pay = np.concatenate([payR, payT])
+                lb = np.concatenate([lbR, lbT])
+                ub = np.concatenate([ubR, ubT])
+                buf = np.full((2 * exchange_k, 10), np.inf, np.float32)
                 n = pay.shape[0]
                 buf[:n, :8] = pay
                 buf[:n, 8] = lb
@@ -525,7 +567,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 order = np.argsort(merged[:, 8], kind="stable")
                 mine = order[pid::P]
                 if mine.size:
-                    frontier.push(
+                    push_classified(
                         merged[mine, :8], merged[mine, 8], merged[mine, 9]
                     )
                 m.count("rebalances", 1)

@@ -34,6 +34,11 @@ import numpy as np
 from goicp_tpu.bnb import BnbParams, make_solver
 
 
+import os
+
+_HARD = os.environ.get("GOICP_MH_HARD", "") == "1"
+
+
 def _problem():
     rng = np.random.default_rng(77)
     src = (rng.random((150, 3)).astype(np.float32) - 0.5) * 0.6
@@ -43,22 +48,32 @@ def _problem():
     if np.linalg.det(Q) < 0:
         Q[:, 0] *= -1
     t = np.float32([0.12, -0.07, 0.09])
-    tgt = (src @ Q.T + t).astype(np.float32)
+    noise = (
+        rng.normal(size=src.shape).astype(np.float32) * 0.01 if _HARD else 0.0
+    )
+    tgt = (src @ Q.T + t + noise).astype(np.float32)
     return src, tgt, Q, t
 
 
 src, tgt, Q, t_true = _problem()
+# GOICP_MH_HARD=1 (scaling tool): noisy pair + threshold below the optimal
+# mse → a pure ε-CERTIFICATION workload (fat, balanced lockstep rounds —
+# the real headline solve is ~95% certification).  Default: noise-free
+# pair with an identity-only start (the reference's own start,
+# fgoicp.cpp:11) — the multistart must NOT find the far-away global basin,
+# so the BnB has to DISCOVER it and the frontier slices carry real
+# distributed search work.
 params = BnbParams(
-    mse_threshold=1e-5,
+    # hard: optimal mse ≈ 3.1e-4 (σ=0.01 noise, N=150) → margin
+    # best − thresh ≈ 150·(3.1−2.85)e-4 ≈ 0.004 sse: a bounded
+    # certification tree (~10^5 nodes) with full-width rounds
+    mse_threshold=2.85e-4 if _HARD else 1e-5,
     bound_backend="exact",
-    se3_pop=32,
-    # identity-only start (the reference's own start, fgoicp.cpp:11): the
-    # multistart must NOT find the far-away global basin, so the BnB has to
-    # DISCOVER it — the frontier slices carry real distributed search work
-    init_multistart=1,
+    se3_pop=64 if _HARD else 32,
+    init_multistart=16 if _HARD else 1,
     refine_top_k=4,
     max_rounds=max_rounds,
-    max_wall_s=240.0,
+    max_wall_s=600.0 if _HARD else 240.0,
     mesh_cubes=mesh_cubes,
     checkpoint_path=checkpoint_path or None,
     checkpoint_every=3,
@@ -77,6 +92,7 @@ with open(out_path, "w") as f:
             "mse": float(res.mse),
             "rmse_vs_gt": rmse,
             "rounds": res.rounds,
+            "solver_wall_s": res.wall_s,
             "local_nodes": res.rot_nodes,
             "rebalances": int(res.metrics.counters.get("rebalances", 0)),
             "R": np.asarray(res.transform.R).tolist(),
