@@ -497,44 +497,24 @@ class GoIcpSolverSE3(GoIcpSolver):
         # -- device mesh: shard each round's job batch over "cubes" and the
         # source cloud over "points" (VERDICT r1 item 1; the stream-pool axis
         # generalized, registration.cu:109-120).  1×1 mesh = the single-chip
-        # fused round.
-        n_p = max(1, p.mesh_points)
-        n_c = (
-            max(1, len(jax.devices()) // n_p)
-            if p.mesh_cubes == 0
-            else max(1, p.mesh_cubes)
-        )
-        sharded_round = None
-        if n_c * n_p > 1:
-            from goicp_tpu.dist.se3 import make_sharded_se3_round, pad_points
-            from goicp_tpu.dist.sharding import make_mesh
+        # fused round.  Always LOCAL devices (dist.se3.make_engine_mesh) —
+        # under multi-process launches this engine may be running per-host
+        # work (multipair pair slices) and must stay collective-free.
+        from goicp_tpu.dist.se3 import make_engine_mesh
 
-            mesh = make_mesh(n_c, n_p)
-            quantum = 128 if self._backend in ("mxu", "screen") else p.point_tile
-            src_pad, norms_pad = pad_points(
-                self.src, np.asarray(self.ev.norms), n_p, quantum
-            )
-            self._src_pad_dev = jnp.asarray(src_pad)
-            self._norms_pad_dev = jnp.asarray(norms_pad)
+        sharded_round = None
+        n_c = 1
+        _mesh = make_engine_mesh(
+            p, self._backend, self.src, np.asarray(self.ev.norms),
+            h=(self.ev.h if p.trim_fraction > 0 else 0),
+            icp_params=self._icp_params,
+            icp_backend=self._icp_backend,
+            log=self.log,
+        )
+        if _mesh is not None:
+            (sharded_round, self._src_pad_dev, self._norms_pad_dev,
+             n_c, _) = _mesh
             M_cap = -(-M_cap // n_c) * n_c
-            sharded_round = make_sharded_se3_round(
-                mesh,
-                h=(self.ev.h if p.trim_fraction > 0 else 0),
-                n_valid=self.src.shape[0],
-                lookup=p.lookup,
-                # cube-only meshes screen per shard (each device holds the
-                # whole cloud, so partial-sum thresholds stay globally
-                # valid); point-sharded meshes fall back to the unfused
-                # kernel inside make_sharded_se3_round
-                backend=self._backend,
-                tile=p.point_tile,
-                refine_k=p.refine_top_k,
-                icp_params=self._icp_params,
-                icp_backend=self._icp_backend,
-            )
-            self.log.info(
-                "SE(3) rounds on a %dx%d (cubes x points) device mesh", n_c, n_p
-            )
 
         # center-aware rotation-cube angle bound, computed on device and
         # chained (async) into the round dispatch — strictly tighter than

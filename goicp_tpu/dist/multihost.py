@@ -162,10 +162,28 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         ck_path = (
             f"{p.checkpoint_path}.p{pid}of{P}" if p.checkpoint_path else None
         )
-        have_ck = float(bool(ck_path and os.path.exists(ck_path)))
-        resume = bool(_allgather_np(np.float32([have_ck])).min() > 0)
-        if resume:
+        ck = None
+        if ck_path and os.path.exists(ck_path):
             ck = np.load(ck_path)
+        # resume requires a CONSISTENT CUT: every process must hold a slice
+        # from the SAME lockstep iteration (a crash between two processes'
+        # save calls leaves mixed-iteration files; rebalanced nodes could
+        # then be in neither slice, silently dropping SE(3) regions).  The
+        # gathered (have, it) pair keeps the decision unanimous.
+        my_it = float(ck["it"]) if ck is not None and "it" in ck else -1.0
+        allck = _allgather_np(np.float32([float(ck is not None), my_it]))
+        resume = bool(
+            allck[:, 0].min() > 0
+            and allck[:, 1].max() == allck[:, 1].min()
+            and allck[0, 1] >= 0
+        )
+        if ck is not None and not resume:
+            self.log.warning(
+                "[p%d/%d] checkpoint slices are not a consistent cut "
+                "(iterations %s) — starting fresh",
+                pid, P, allck[:, 1].tolist(),
+            )
+        if resume:
             push_classified(ck["payload"], ck["lb"], ck["ub"])
             if float(ck["best_sse"]) < best_sse:
                 best_sse = float(ck["best_sse"])
@@ -198,40 +216,20 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         # process shards ITS OWN rounds over its local chips (purely local
         # collectives, so lockstep across hosts is untouched).  ``mesh_cubes
         # = 0`` means every local device (mirroring the single-host engine).
-        n_p = max(1, p.mesh_points)
-        n_c = (
-            max(1, len(jax.local_devices()) // n_p)
-            if p.mesh_cubes == 0
-            else max(1, p.mesh_cubes)
-        )
-        sharded_round = None
-        if n_c * n_p > 1:
-            from goicp_tpu.dist.se3 import make_sharded_se3_round, pad_points
-            from goicp_tpu.dist.sharding import make_mesh
+        from goicp_tpu.dist.se3 import make_engine_mesh
 
-            local_mesh = make_mesh(n_c, n_p, devices=jax.local_devices())
-            quantum = 128 if self._backend in ("mxu", "screen") else p.point_tile
-            src_pad, norms_pad = pad_points(
-                self.src, np.asarray(self.ev.norms), n_p, quantum
-            )
-            src_pad_dev = jnp.asarray(src_pad)
-            norms_pad_dev = jnp.asarray(norms_pad)
+        sharded_round = None
+        _mesh = make_engine_mesh(
+            p, self._backend, self.src, np.asarray(self.ev.norms),
+            h=(self.ev.h if p.trim_fraction > 0 else 0),
+            icp_params=self._icp_params,
+            icp_backend=self._icp_backend,
+            log=self.log,
+            tag=f"[p{pid}/{P}] ",
+        )
+        if _mesh is not None:
+            sharded_round, src_pad_dev, norms_pad_dev, n_c, _ = _mesh
             pop_cap = -(-pop_cap // n_c) * n_c
-            sharded_round = make_sharded_se3_round(
-                local_mesh,
-                h=(self.ev.h if p.trim_fraction > 0 else 0),
-                n_valid=self.src.shape[0],
-                lookup=p.lookup,
-                backend=self._backend,
-                tile=p.point_tile,
-                refine_k=p.refine_top_k,
-                icp_params=self._icp_params,
-                icp_backend=self._icp_backend,
-            )
-            self.log.info(
-                "[p%d/%d] rounds on a local %dx%d (cubes x points) mesh",
-                pid, P, n_c, n_p,
-            )
 
         M_cap = 8 * pop_cap
         exchange_k = max(64, pop_cap)
@@ -477,6 +475,11 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     ub = np.concatenate(
                         [ub, np.full(ppay.shape[0], np.inf, np.float32)]
                     )
+            # in-flight parents get re-expanded on resume, so their
+            # already-counted children must not be counted twice
+            inflight_children = sum(
+                n for w in inflight for *_x, n in w["parts"]
+            )
             tmp = ck_path + ".tmp.npz"
             np.savez(
                 tmp,
@@ -485,8 +488,11 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 best_sse=np.float32(best_sse),
                 leaf_lb=np.float32(leaf_lb),
                 rounds=np.int64(max(rounds, 1)),
-                nodes=np.int64(m.counters.get("se3_nodes", 0)),
+                nodes=np.int64(
+                    m.counters.get("se3_nodes", 0) - inflight_children
+                ),
                 nproc=np.int64(P),
+                it=np.int64(it),
             )
             os.replace(tmp, ck_path)
 

@@ -291,3 +291,56 @@ def make_sharded_se3_round(
         return ub, lb, res.transform.R, res.transform.t, res.sse, res.iters
 
     return jax.jit(round_fn)
+
+
+def make_engine_mesh(p, backend: str, src, norms, *, h: int,
+                     icp_params, icp_backend: str, log=None, tag: str = ""):
+    """Shared engine-side mesh setup (single-host SE(3) engine and the
+    per-host composition in ``dist.multihost``): derive the (cubes × points)
+    extents from ``BnbParams.mesh_cubes/mesh_points``, pad the cloud, build
+    the jitted sharded round.
+
+    Always uses ``jax.local_devices()`` — identical to ``jax.devices()`` in
+    a single process, and the only correct choice under multi-process
+    launches (a per-host solve over another host's non-addressable chips
+    would deadlock; each engine instance must stay collective-free across
+    processes).
+
+    Returns ``None`` when the mesh is trivial (1×1), else
+    ``(round_fn, src_pad_dev, norms_pad_dev, n_c, n_p)``.
+    """
+    from goicp_tpu.dist.sharding import make_mesh
+
+    n_p = max(1, p.mesh_points)
+    n_c = (
+        max(1, len(jax.local_devices()) // n_p)
+        if p.mesh_cubes == 0
+        else max(1, p.mesh_cubes)
+    )
+    if n_c * n_p <= 1:
+        return None
+    mesh = make_mesh(n_c, n_p, devices=jax.local_devices())
+    quantum = 128 if backend in ("mxu", "screen") else p.point_tile
+    src_pad, norms_pad = pad_points(
+        np.asarray(src, np.float32), np.asarray(norms, np.float32),
+        n_p, quantum,
+    )
+    round_fn = make_sharded_se3_round(
+        mesh,
+        h=h,
+        n_valid=src.shape[0],
+        lookup=p.lookup,
+        # cube-only meshes screen per shard; point-sharded meshes fall
+        # back inside make_sharded_se3_round (see its docstring)
+        backend=backend,
+        tile=p.point_tile,
+        refine_k=p.refine_top_k,
+        icp_params=icp_params,
+        icp_backend=icp_backend,
+    )
+    if log is not None:
+        log.info(
+            "%sSE(3) rounds on a %dx%d (cubes x points) local device mesh",
+            tag, n_c, n_p,
+        )
+    return round_fn, jnp.asarray(src_pad), jnp.asarray(norms_pad), n_c, n_p

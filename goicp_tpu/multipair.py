@@ -422,19 +422,30 @@ def register_pairs_distributed(
     )
 
     # pack local results into a fixed-shape float record for the gather:
-    # [R 9 | t 3 | sse mse converged gap nodes iters rounds wall] = 20
+    # [R 9 | t 3 | sse mse converged gap wall] = 17 floats, then the four
+    # integer counters (rot_nodes, trans_nodes, icp_iters, rounds) as
+    # (hi, lo) base-2^20 pairs — exact through 2^40 (a bare f32 slot
+    # silently rounds counters above 2^24)
+    _B = 1 << 20
+
+    def _enc(v: int):
+        return float(v // _B), float(v % _B)
+
     per = -(-n // P)
-    buf = np.full((per, 20), np.nan, np.float32)
+    buf = np.full((per, 25), np.nan, np.float32)
     for row, res in enumerate(local):
         buf[row, 0:9] = np.asarray(res.transform.R, np.float32).reshape(9)
         buf[row, 9:12] = np.asarray(res.transform.t, np.float32)
-        buf[row, 12:20] = (
-            res.sse, res.mse, float(res.converged), res.gap,
-            res.rot_nodes, res.icp_iters, res.rounds, res.wall_s,
+        buf[row, 12:17] = (
+            res.sse, res.mse, float(res.converged), res.gap, res.wall_s,
+        )
+        buf[row, 17:25] = (
+            *_enc(res.rot_nodes), *_enc(res.trans_nodes),
+            *_enc(res.icp_iters), *_enc(res.rounds),
         )
     allb = np.asarray(
         multihost_utils.process_allgather(jnp.asarray(buf))
-    )                                                     # [P, per, 20]
+    )                                                     # [P, per, 25]
 
     results: List[Optional[GoIcpResult]] = [None] * n
     for i in mine:
@@ -445,6 +456,10 @@ def register_pairs_distributed(
         their = range(src_pid, n, P)
         for row, i in enumerate(their):
             r = allb[src_pid, row]
+
+            def _dec(k):
+                return int(r[k]) * _B + int(r[k + 1])
+
             results[i] = GoIcpResult(
                 transform=RigidTransform(
                     r[0:9].reshape(3, 3).astype(np.float32),
@@ -454,11 +469,11 @@ def register_pairs_distributed(
                 mse=float(r[13]),
                 converged=bool(r[14] > 0.5),
                 gap=float(r[15]),
-                rot_nodes=int(r[16]),
-                trans_nodes=int(r[16]),
-                icp_iters=int(r[17]),
-                rounds=int(r[18]),
-                wall_s=float(r[19]),
+                rot_nodes=_dec(17),
+                trans_nodes=_dec(19),
+                icp_iters=_dec(21),
+                rounds=_dec(23),
+                wall_s=float(r[16]),
                 metrics=Metrics(),
             )
     assert all(res is not None for res in results)

@@ -322,7 +322,10 @@ def render_html(
     src = thin(source)
     if len(states) > max_states:
         stride = len(states) // max_states + 1
-        states = states[::stride] + [states[-1]]
+        last = states[-1]
+        states = states[::stride]
+        if states[-1] is not last:
+            states = states + [last]
     both = np.concatenate([tgt, src]) if src.size else tgt
     center = both.mean(0)
     radius = float(np.linalg.norm(both - center, axis=1).max() or 1.0)
