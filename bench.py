@@ -210,9 +210,35 @@ def main():
             "n_tgt": int(n_tgt),
             "scenarios": scen,
             "multipair_lockstep": multipair,
+            "multihost_scaling": _multihost_scaling_summary(),
         },
     }
     print(json.dumps(out))
+
+
+def _multihost_scaling_summary():
+    """Latest measured multi-host scaling record (tools/multihost_scaling.py
+    — 2 real jax.distributed processes, fair core pinning), so the bench
+    line carries the north-star scaling number alongside the wall."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "multihost_scaling.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        cert = doc["workloads"]["certification_fixed_rounds"]["rows"][-1]
+        disc = doc["workloads"]["discovery"]["rows"][-1]
+        return {
+            "certification_efficiency_2hosts": cert.get("efficiency"),
+            "certification_speedup_2hosts": cert.get("speedup"),
+            "discovery_time_to_solution_speedup": disc.get(
+                "time_to_solution_speedup"
+            ),
+            "source": "docs/multihost_scaling.json",
+        }
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
 
 
 if __name__ == "__main__":
