@@ -37,9 +37,15 @@ from goicp_tpu.bnb import BnbParams, GoIcpResult, GoIcpSolver, make_solver
 from goicp_tpu.core.cache import enable_persistent_cache
 from goicp_tpu.core.config import Config, Mode
 from goicp_tpu.core.logging import get_logger
-from goicp_tpu.core.progress import ProgressBus
+from goicp_tpu.core.progress import ProgressBus, SolverState
 from goicp_tpu.core.types import RigidTransform
-from goicp_tpu.icp import IcpParams, exact_correspondence, grid_correspondence, run_icp
+from goicp_tpu.icp import (
+    IcpParams,
+    exact_correspondence,
+    grid_correspondence,
+    run_icp,
+    run_icp_trace,
+)
 from goicp_tpu.io import load_cloud, write_result_toml
 from goicp_tpu.nn.grid import build_distance_grid
 from goicp_tpu.viz import TrajectoryRecorder, write_registration_ply
@@ -83,8 +89,13 @@ def bnb_params_from_config(cfg: Config) -> BnbParams:
     )
 
 
-def run_icp_mode(cfg: Config, src, tgt):
-    """Modes 0/1/2: plain iterated ICP (per-frame loop ≙ one jitted solve)."""
+def run_icp_mode(cfg: Config, src, tgt, bus: ProgressBus | None = None):
+    """Modes 0/1/2: plain iterated ICP (per-frame loop ≙ one jitted solve).
+
+    With a ``bus``, the traced runner records every iteration's pose+SSE
+    and publishes them as :class:`SolverState` snapshots — the trajectory/
+    replay artifacts the reference shows as its frame-per-iteration
+    animation (``main.cpp:99-141``)."""
     import jax.numpy as jnp
 
     params = IcpParams(
@@ -100,8 +111,25 @@ def run_icp_mode(cfg: Config, src, tgt):
     else:
         corr = exact_correspondence(tgt)
     t0 = time.perf_counter()
-    res = run_icp(src, corr, RigidTransform.identity(), params)
-    wall = time.perf_counter() - t0
+    if bus is not None:
+        res, trace = run_icp_trace(src, corr, RigidTransform.identity(), params)
+        wall = time.perf_counter() - t0
+        R_tr, t_tr, sse_tr, act = (np.asarray(x) for x in trace)
+        best = np.inf
+        opt_R, opt_t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        for k in range(R_tr.shape[0]):
+            if not act[k]:
+                break
+            if sse_tr[k] < best:
+                best, opt_R, opt_t = float(sse_tr[k]), R_tr[k], t_tr[k]
+            bus.publish(SolverState(
+                opt_R=opt_R, opt_t=opt_t, cur_R=R_tr[k], cur_t=t_tr[k],
+                best_sse=best, gap=0.0, finished=False,
+                rot_nodes=0, trans_nodes=0, round=k,
+            ))
+    else:
+        res = run_icp(src, corr, RigidTransform.identity(), params)
+        wall = time.perf_counter() - t0
     sse = float(res.sse)
     n_eff = max(1, int(round(src.shape[0] * (1 - cfg.effective_trim_fraction))))
     return {
@@ -170,7 +198,7 @@ def run_scenario(
 
     t0 = time.perf_counter()
     if cfg.mode in (Mode.ICP_CPU, Mode.ICP_GPU, Mode.ICP_KDTREE_GPU):
-        out = run_icp_mode(cfg, src, tgt)
+        out = run_icp_mode(cfg, src, tgt, bus)
     else:
         out = run_goicp_mode(cfg, src, tgt, bus)
     out["total_wall_s"] = time.perf_counter() - t0

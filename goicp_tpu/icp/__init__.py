@@ -4,6 +4,7 @@ from goicp_tpu.icp.solver import (
     exact_correspondence,
     grid_correspondence,
     run_icp,
+    run_icp_trace,
     sse_of_distances,
     trim_weights,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "exact_correspondence",
     "grid_correspondence",
     "run_icp",
+    "run_icp_trace",
     "sse_of_distances",
     "trim_weights",
 ]

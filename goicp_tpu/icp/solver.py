@@ -246,3 +246,69 @@ def run_icp(
         T = jax.tree.map(lambda x: x[0], T)
         sse, iters = sse[0], iters[0]
     return IcpResult(transform=T, sse=sse, iters=iters)
+
+
+def run_icp_trace(
+    src,
+    corr: Callable,
+    init: RigidTransform,
+    params: IcpParams = IcpParams(),
+):
+    """Like :func:`run_icp` but RECORDS the visited pose and SSE at every
+    iteration — the artifact-producing form of the reference's per-frame
+    ICP modes (one iteration per rendered frame, ``main.cpp:99-141``).
+
+    Single (unbatched) pose.  Returns ``(IcpResult, trace)`` where
+    ``trace = (R [T,3,3], t [T,3], sse [T], active [T])`` over a fixed
+    ``max_iter`` scan; after convergence the remaining steps take a cheap
+    frozen branch (no correspondence search), so the early-stop economy of
+    the while_loop form is preserved and ``active`` marks the real steps.
+    """
+    src = jnp.asarray(src, jnp.float32)
+    tf = params.trim_fraction
+
+    def _w(d2):
+        return trim_weights(d2, tf) if tf > 0.0 else None
+
+    def _sse(d2, w):
+        return jnp.sum(d2 if w is None else d2 * w, axis=-1)
+
+    def step(state, _):
+        T_best, sse_best, T_cur, active = state
+
+        def live(_):
+            pts = T_cur.apply(src)
+            dst, d2 = corr(pts)
+            w = _w(d2)
+            sse_cur = _sse(d2, w)
+            take = sse_cur < sse_best
+            T_b = jax.tree.map(
+                lambda new, old: jnp.where(take, new, old), T_cur, T_best
+            )
+            sse_b = jnp.where(take, sse_cur, sse_best)
+            still = (
+                sse_best - sse_cur
+                >= params.rel_tol * jnp.maximum(sse_cur, 1e-30)
+            )
+            R_d, t_d = procrustes(pts, dst, weights=w)
+            T_next = RigidTransform(R_d, t_d).compose(T_cur)
+            T_n = jax.tree.map(
+                lambda new, old: jnp.where(still, new, old), T_next, T_cur
+            )
+            return T_b, sse_b, T_n, still, sse_cur
+
+        def frozen(_):
+            return T_best, sse_best, T_cur, active, sse_best
+
+        T_b, sse_b, T_n, still, sse_cur = jax.lax.cond(
+            active, live, frozen, operand=None
+        )
+        ys = (T_cur.R, T_cur.t, sse_cur, active)
+        return (T_b, sse_b, T_n, still), ys
+
+    state = (init, jnp.float32(jnp.inf), init, jnp.asarray(True))
+    (T, sse, _, _), trace = jax.lax.scan(
+        step, state, None, length=max(params.max_iter, 1)
+    )
+    iters = jnp.sum(trace[3].astype(jnp.int32))
+    return IcpResult(transform=T, sse=sse, iters=iters), trace

@@ -108,6 +108,13 @@ grid_resolution = 64
         )
         out = run_scenario(str(cfg), output_dir=str(tmp_path / f"out{mode}"))
         _check(out, R, t, src, tgt, tol=1e-2 if mode == 2 else 5e-3)
+        # ICP modes now record the per-iteration animation (≙ the
+        # reference's frame-per-iteration loop): trajectory + HTML replay
+        outdir = tmp_path / f"out{mode}"
+        assert (outdir / "trajectory.csv").exists()
+        assert (outdir / "viz.html").exists()
+        n_rows = len((outdir / "trajectory.csv").read_text().splitlines())
+        assert n_rows >= 3  # header + >=2 real iterations
 
 
 def test_cli_icp_stall_reports_not_converged(tmp_path, rng):
