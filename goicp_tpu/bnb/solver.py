@@ -632,6 +632,11 @@ class GoIcpSolver:
     def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
         p, m = self.p, self.metrics
         t_start = time.perf_counter()
+        if max(p.mesh_cubes, p.mesh_points) > 1:
+            self.log.warning(
+                "engine='nested' runs single-device; mesh_cubes/mesh_points "
+                "are honored by the SE(3) engine only (engine='se3')"
+            )
         best_R, best_t, best_sse = self._initial_icp(init)
         self.log.info(
             "Initial ICP: sse=%.6g mse=%.6g", best_sse, best_sse / self.ev.h
