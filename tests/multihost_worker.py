@@ -37,6 +37,7 @@ from goicp_tpu.bnb import BnbParams, make_solver
 import os
 
 _HARD = os.environ.get("GOICP_MH_HARD", "") == "1"
+_TRIM = float(os.environ.get("GOICP_MH_TRIM", "0") or 0)
 
 
 def _problem():
@@ -52,6 +53,11 @@ def _problem():
         rng.normal(size=src.shape).astype(np.float32) * 0.01 if _HARD else 0.0
     )
     tgt = (src @ Q.T + t + noise).astype(np.float32)
+    if _TRIM > 0:
+        # corrupt ~TRIM/2 of the target with far outliers: the trimmed
+        # multi-host solve must still land on the ground truth
+        k = max(1, int(tgt.shape[0] * _TRIM / 2))
+        tgt[:k] += rng.normal(size=(k, 3)).astype(np.float32) * 2.0
     return src, tgt, Q, t
 
 
@@ -67,12 +73,13 @@ params = BnbParams(
     # hard: optimal mse ≈ 3.1e-4 (σ=0.01 noise, N=150) → margin
     # best − thresh ≈ 150·(3.1−2.85)e-4 ≈ 0.004 sse: a bounded
     # certification tree (~10^5 nodes) with full-width rounds
-    mse_threshold=2.85e-4 if _HARD else 1e-5,
+    mse_threshold=2.85e-4 if _HARD else (1e-4 if _TRIM else 1e-5),
     bound_backend="exact",
     se3_pop=64 if _HARD else 32,
     init_multistart=16 if _HARD else 1,
     refine_top_k=4,
     max_rounds=max_rounds,
+    trim_fraction=_TRIM,
     max_wall_s=600.0 if _HARD else 240.0,
     mesh_cubes=mesh_cubes,
     checkpoint_path=checkpoint_path or None,

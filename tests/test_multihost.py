@@ -24,10 +24,11 @@ def _free_port() -> int:
 
 
 def _run(nproc: int, tmp_path, timeout=420, mesh_cubes=1, checkpoint="",
-         max_rounds=600, tag=""):
+         max_rounds=600, tag="", extra_env=None):
     outs = []
     procs = []
     env = dict(os.environ)
+    env.update(extra_env or {})
     env["PYTHONPATH"] = (
         os.path.dirname(_HERE) + os.pathsep + env.get("PYTHONPATH", "")
     )
@@ -103,3 +104,37 @@ def test_checkpoint_resume_two_hosts(tmp_path):
         assert np.allclose(r["R"], resumed[0]["R"], atol=1e-6)
     # the resumed solve continued from the snapshot, not from scratch
     assert min(r["rounds"] for r in resumed) > 6
+
+
+def test_two_hosts_trimmed_robust(tmp_path):
+    """Trimmed (robust) multi-host solve: 10% far outliers in the target,
+    trim_fraction 0.2 — both hosts' frontier slices drive the trimmed
+    bound/ICP path and land on the ground truth."""
+    duo = _run(2, tmp_path, tag="_tr", extra_env={"GOICP_MH_TRIM": "0.2"})
+    for r in duo:
+        assert r["converged"], r
+        assert r["rmse_vs_gt"] < 2e-3, r
+        assert np.allclose(r["R"], duo[0]["R"], atol=1e-6)
+
+
+def test_checkpoint_mixed_cut_starts_fresh(tmp_path):
+    """Crash-recovery guard: slice files from DIFFERENT lockstep iterations
+    (a crash between two processes' save calls) must NOT resume — a mixed
+    cut can drop rebalanced nodes.  The solve restarts fresh and still
+    converges to the ground truth."""
+    import numpy as np_
+
+    ck = str(tmp_path / "mh.ck")
+    first = _run(2, tmp_path, checkpoint=ck, max_rounds=6, tag="_m1")
+    assert not any(r["converged"] for r in first)
+    # tamper: rewrite p1's slice with a different iteration stamp
+    f1 = f"{ck}.p1of2"
+    d = dict(np_.load(f1))
+    d["it"] = np_.int64(int(d["it"]) - 3)
+    np_.savez(f1 + ".tmp.npz", **d)
+    os.replace(f1 + ".tmp.npz", f1)
+
+    resumed = _run(2, tmp_path, checkpoint=ck, max_rounds=600, tag="_m2")
+    for r in resumed:
+        assert r["converged"], r
+        assert r["rmse_vs_gt"] < 1e-3, r
