@@ -41,7 +41,8 @@ C16    GPU ICP (icp3d)                          ``goicp_tpu.icp``
 C17    registration / bound evaluator           ``goicp_tpu.bnb.bounds``
 C18    NearestNeighborLUT                       ``goicp_tpu.nn.grid``
 C19    viz-state bridge                         ``goicp_tpu.core.progress``
-C20    window / camera / shaders                ``goicp_tpu.viz`` (PLY artifacts)
+C20    window / camera / shaders                ``goicp_tpu.viz`` (PLY/PNG, live
+                                                snapshots, HTML replay viewer)
 C21    build system                             setup via ``goicp_tpu/_native/Makefile``
 C22    data & scenarios                         ``scenarios/`` + ``tools/make_targets.py``
 C23    vendored third-party                     none (stdlib + jax + numpy)
