@@ -232,7 +232,10 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             pop_cap = -(-pop_cap // n_c) * n_c
 
         M_cap = 8 * pop_cap
-        exchange_k = max(64, pop_cap)
+        # per-frontier nodes offered into a rebalance: enough mass that a
+        # starved host leaves with ≥ pop_cap work (the buffer rides one
+        # small allgather — 2·k·10 f32 per host)
+        exchange_k = max(64, 2 * pop_cap)
         converged = best_sse <= self.sse_thresh
         _slack = jnp.float32(
             self._exact_slack
@@ -553,9 +556,18 @@ class GoIcpSolverMultiHost(GoIcpSolver):
 
             # ---- rebalance: even out frontiers ------------------------------
             force = sizes.min() == 0 and total > 0
+            # rebalance whenever some host cannot fill a round (starved
+            # rounds run half-empty batches — measured as the 4-host
+            # efficiency cliff) or the spread exceeds 2×; every condition
+            # derives from the allgathered sizes, so the decision is
+            # unanimous and the collective count stays uniform
             if force or (
-                it % 8 == 0
-                and sizes.max() > 4 * max(sizes.min(), 1.0)
+                it % 4 == 0
+                and total > P * pop_cap / 2
+                and (
+                    sizes.min() < pop_cap
+                    or sizes.max() > 2 * max(sizes.min(), 1.0)
+                )
             ):
                 payR, lbR, ubR = fR.pop_best(exchange_k)
                 payT, lbT, ubT = fT.pop_best(exchange_k)
