@@ -227,14 +227,18 @@ def _multihost_scaling_summary():
     try:
         with open(path) as f:
             doc = json.load(f)
-        cert = doc["workloads"]["certification_fixed_rounds"]["rows"][-1]
-        disc = doc["workloads"]["discovery"]["rows"][-1]
+        cert = doc["workloads"]["certification_fixed_rounds"]["rows"]
         return {
-            "certification_efficiency_2hosts": cert.get("efficiency"),
-            "certification_speedup_2hosts": cert.get("speedup"),
-            "discovery_time_to_solution_speedup": disc.get(
-                "time_to_solution_speedup"
-            ),
+            "certification_efficiency_by_hosts": {
+                str(r["processes"]): r.get("efficiency")
+                for r in cert
+                if "efficiency" in r
+            },
+            "certification_speedup_by_hosts": {
+                str(r["processes"]): r.get("speedup")
+                for r in cert
+                if "speedup" in r
+            },
             "source": "docs/multihost_scaling.json",
         }
     except Exception as e:
