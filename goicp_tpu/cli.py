@@ -242,7 +242,10 @@ def run_scenario(
         # interactive replay of the solve (incumbent red / explored white /
         # model blue) — the headless form of watching the reference's window
         render_html(
-            os.path.splitext(viz_path)[0] + ".html", tgt, src, rec.states
+            os.path.splitext(viz_path)[0] + ".html", tgt, src, rec.states,
+            phi=cfg.viz.phi or 0.35,
+            theta=cfg.viz.theta or 0.6,
+            spin=cfg.viz.spin_after_finish,
         )
     if out["metrics"]:
         import json

@@ -214,7 +214,8 @@ const slider = document.getElementById("round"),
       label = document.getElementById("label"),
       playBtn = document.getElementById("play"),
       showCur = document.getElementById("showcur");
-let yaw = 0.6, pitch = 0.35, zoom = 1.0, drag = null, playing = null;
+let yaw = DATA.theta, pitch = DATA.phi, zoom = 1.0, drag = null,
+    playing = null, spin = DATA.spin;
 slider.max = Math.max(DATA.traj.length - 1, 0);
 slider.value = slider.max;
 function resize() {
@@ -222,7 +223,8 @@ function resize() {
   draw();
 }
 addEventListener("resize", resize);
-canvas.addEventListener("mousedown", e => drag = [e.clientX, e.clientY]);
+canvas.addEventListener("mousedown", e => { spin = false;
+                                            drag = [e.clientX, e.clientY]; });
 addEventListener("mouseup", () => drag = null);
 addEventListener("mousemove", e => {
   if (!drag) return;
@@ -291,6 +293,12 @@ function draw() {
   }
 }
 resize();
+// spin_after_finish (reference [visualization] config): auto-orbit until
+// the user grabs the view
+(function spinLoop() {
+  if (spin) { yaw += 0.01; draw(); }
+  requestAnimationFrame(spinLoop);
+})();
 </script></body></html>
 """
 
@@ -302,6 +310,9 @@ def render_html(
     states: list,
     max_points: int = 4000,
     max_states: int = 400,
+    phi: float = 0.35,
+    theta: float = 0.6,
+    spin: bool = False,
 ):
     """Self-contained interactive HTML replay of the solve — the headless
     framework's answer to the reference's live GL window
@@ -338,6 +349,10 @@ def render_html(
         "source": f(src),
         "center": f(center),
         "radius": round(radius, 6),
+        # ≙ the reference's [visualization] camera config (common.cpp:60-66)
+        "phi": round(float(phi), 4),
+        "theta": round(float(theta), 4),
+        "spin": bool(spin),
         "traj": [
             {
                 "round": int(s.round),
