@@ -387,6 +387,7 @@ def register_pairs_distributed(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     params: BnbParams = BnbParams(),
     batched: bool = True,
+    mesh=None,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair, pairs sharded across
     ``jax.process_count()`` processes (the between-hosts axis of the
@@ -403,7 +404,7 @@ def register_pairs_distributed(
     """
     P = jax.process_count()
     if P <= 1:
-        return register_pairs(pairs, params, batched=batched)
+        return register_pairs(pairs, params, batched=batched, mesh=mesh)
 
     from jax.experimental import multihost_utils
 
@@ -415,7 +416,10 @@ def register_pairs_distributed(
     # mismatched allgather sequences across hosts)
     local = (
         register_pairs(
-            [pairs[i] for i in mine], params, batched=batched, local=True
+            [pairs[i] for i in mine], params, batched=batched, local=True,
+            # an optional LOCAL pair-axis mesh (build it over
+            # jax.local_devices(); a global mesh would not be collective-free)
+            mesh=mesh,
         )
         if mine
         else []
