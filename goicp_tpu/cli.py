@@ -175,6 +175,14 @@ def run_scenario(
     """Full scenario: load → solve → artifacts.  Returns the result dict."""
     enable_persistent_cache()
     log = get_logger()
+    # ≙ the reference's window title (FPS + GPU name, main.cpp:173-178)
+    import jax
+
+    dev = jax.devices()[0]
+    log.info(
+        "backend: %d x %s", len(jax.devices()),
+        getattr(dev, "device_kind", dev.platform),
+    )
     cfg = Config.from_toml(toml_path)
     if checkpoint:
         cfg.tpu.checkpoint_path = checkpoint
