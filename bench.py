@@ -39,6 +39,10 @@ SCENARIOS = [
     "spanner_goicp.toml",
     "dragon_goicp.toml",   # repo extra: 6th scene w/ exact GT (the reference
                            # ships data/dragon but no scenario uses it)
+    "dragon_scans_goicp.toml",  # repo extra: REAL partial-overlap pair (two
+                           # raw turntable scans, ~60% overlap, trim 0.4);
+                           # hardware-calibrated 2026-08-19: warm 0.44 s,
+                           # trimmed mse 7.4e-6 <= 4e-5 threshold
 ]
 
 
