@@ -76,6 +76,41 @@ def run_headline():
     return wall, times, res, src.shape[0], tgt.shape[0]
 
 
+def run_headline_refbug():
+    """The headline protocol with the REFERENCE'S invalid deflation radius
+    (`registration.cu:39-43` deflates by `|p|^2` instead of `|p|`), so the
+    0.05-6 s reference band can be compared on its own terms.  Measurement
+    only — invalid lower bounds can prune the true optimum, so this is not
+    a product knob (the one-line norms^2 patch lives only here)."""
+    from goicp_tpu.bnb import BnbParams, make_solver
+    from goicp_tpu.io import load_cloud
+
+    base = os.path.join(_HERE, "data", "bunny")
+    src = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.05, seed=0)
+    tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.05, seed=0)
+    params = BnbParams(
+        mse_threshold=1e-3, grid_resolution=256, trans_span=0.5, max_rounds=2000,
+    )
+    times, res = [], None
+    for i in range(4):                        # first solve = warmup
+        s = make_solver(src, tgt, params)
+        s.ev.norms = s.ev.norms ** 2          # the reference's radius
+        t0 = time.perf_counter()
+        res = s.run()
+        if i > 0:
+            times.append(time.perf_counter() - t0)
+    return {
+        "wall_s": round(float(np.median(times)), 3),
+        "runs_s": [round(t, 3) for t in times],
+        "nodes": int(res.rot_nodes),
+        "mse": float(res.mse),
+        "converged": bool(res.converged),
+        "note": "OUR solver granted the reference's invalid |p|^2 radius "
+                "(registration.cu:39-43) — same-terms comparison with its "
+                "0.05-6 s GPU band; shipped default keeps valid bounds",
+    }
+
+
 def run_scenarios(tmp_root):
     """All five reference scenario TOMLs end-to-end through the CLI."""
     from goicp_tpu.cli import run_scenario
@@ -180,6 +215,12 @@ def main():
         return
 
     try:
+        refbug = run_headline_refbug()
+    except Exception as e:
+        traceback.print_exc()
+        refbug = {"error": f"{type(e).__name__}: {e}"}
+
+    try:
         multipair = run_multipair()
     except Exception as e:
         traceback.print_exc()
@@ -195,6 +236,10 @@ def main():
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(REF_WORST_S / wall, 2),
+        # the ref GPU band (0.05-6 s) rests on invalid lower bounds (the
+        # |p|^2 radius); against the reference's VALID-bounds solver (CPU
+        # jly, 10-35 s) the same protocol gives:
+        "vs_baseline_valid_bounds": round(10.0 / wall, 2),
         "detail": {
             "protocol": "subsample 0.05 (Performance.xlsx), full epsilon-"
                         "certification with CORRECT rotation radii; the "
@@ -213,6 +258,7 @@ def main():
             "n_src": int(n_src),
             "n_tgt": int(n_tgt),
             "scenarios": scen,
+            "headline_with_reference_invalid_radius": refbug,
             "multipair_lockstep": multipair,
             "multihost_scaling": _multihost_scaling_summary(),
         },
