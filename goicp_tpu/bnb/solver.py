@@ -352,6 +352,7 @@ class GoIcpSolver:
         tgt: np.ndarray,
         params: BnbParams = BnbParams(),
         progress: Optional[ProgressBus] = None,
+        grid=None,
     ):
         self.src_full = np.asarray(src, np.float32)
         self.src = self.src_full
@@ -416,20 +417,30 @@ class GoIcpSolver:
         )
         need_bounds_grid = self._backend == "grid"
         need_icp_grid = self._icp_backend == "grid"
-        with self.metrics.phase("grid_build"):
-            # all-exact solvers get a vestigial 8³ field (evaluator plumbing)
-            self.grid = build_distance_grid(
-                self.tgt,
-                n=(
-                    params.grid_resolution
-                    if (need_bounds_grid or need_icp_grid)
-                    else 8
-                ),
-                expand=params.grid_expand,
-                method=params.grid_method,
-                with_index=need_icp_grid or not need_bounds_grid,
-            )
-            jax.block_until_ready(self.grid.values)
+        need_n = (
+            params.grid_resolution if (need_bounds_grid or need_icp_grid) else 8
+        )
+        need_index = need_icp_grid or not need_bounds_grid
+        if (
+            grid is not None
+            and grid.values.shape[0] >= need_n
+            and (grid.indices is not None or not need_index)
+        ):
+            # target-resident reuse (serving: one distance field amortized
+            # over every query against the same target — serve.py)
+            self.grid = grid
+        else:
+            with self.metrics.phase("grid_build"):
+                # all-exact solvers get a vestigial 8³ field (evaluator
+                # plumbing)
+                self.grid = build_distance_grid(
+                    self.tgt,
+                    n=need_n,
+                    expand=params.grid_expand,
+                    method=params.grid_method,
+                    with_index=need_index,
+                )
+                jax.block_until_ready(self.grid.values)
         self.ev = BoundsEvaluator(
             self.src,
             self.grid,
@@ -896,6 +907,7 @@ def make_solver(
     params: BnbParams = BnbParams(),
     progress: Optional[ProgressBus] = None,
     local: bool = False,
+    grid=None,
 ) -> GoIcpSolver:
     """Engine dispatch: "se3" (flat product-space, default) or "nested".
 
@@ -911,11 +923,11 @@ def make_solver(
         if jax.process_count() > 1 and not local:
             from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
 
-            return GoIcpSolverMultiHost(src, tgt, params, progress)
+            return GoIcpSolverMultiHost(src, tgt, params, progress, grid=grid)
         from goicp_tpu.bnb.se3 import GoIcpSolverSE3
 
-        return GoIcpSolverSE3(src, tgt, params, progress)
-    return GoIcpSolver(src, tgt, params, progress)
+        return GoIcpSolverSE3(src, tgt, params, progress, grid=grid)
+    return GoIcpSolver(src, tgt, params, progress, grid=grid)
 
 
 def register(

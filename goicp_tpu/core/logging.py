@@ -98,8 +98,12 @@ def get_logger() -> _pylog.Logger:
     if _logger is None:
         _logger = _pylog.getLogger("goicp_tpu")
         _logger.propagate = False
-        h = _pylog.StreamHandler(sys.stdout)
-        h.setFormatter(_Formatter(color=sys.stdout.isatty() or bool(os.environ.get("GOICP_COLOR"))))
+        # stderr, not stdout: stdout belongs to machine-readable surfaces
+        # (the serve.py JSON-lines protocol, bench.py's JSON line); the
+        # reference Logger likewise writes std::cerr for Error and keeps
+        # human chatter off structured outputs (common.h:235-241)
+        h = _pylog.StreamHandler(sys.stderr)
+        h.setFormatter(_Formatter(color=sys.stderr.isatty() or bool(os.environ.get("GOICP_COLOR"))))
         _logger.addHandler(h)
         _logger.setLevel(
             getattr(_pylog, os.environ.get("GOICP_LOGLEVEL", "INFO").upper(), _pylog.INFO)

@@ -1,0 +1,498 @@
+"""Target-resident registration service — the production serving surface.
+
+The reference binary registers exactly one (source, target) pair per process
+launch (``src/main.cpp:14-33``: argv[1] TOML, one solve, exit).  Production
+re-localization / scan-matching workloads answer MANY queries against one
+resident model.  The TPU-shaped serving design keeps everything expensive
+resident and warm between queries:
+
+- the **target cloud** and its **distance field** are built once
+  (:class:`RegistrationService`; the per-solver reuse hook is
+  ``make_solver(..., grid=...)``);
+- **jit caches stay warm**: every query of an already-seen source size hits
+  the compiled executable (plus the persistent compilation cache across
+  process restarts);
+- **micro-batching**: concurrent queries drain into ONE lockstep Go-ICP
+  dispatch per BnB round (``multipair.register_pairs`` with the shared
+  target) — P queries cost barely more wall than one.
+
+Protocol: line-delimited JSON on stdio or TCP (``python -m goicp_tpu serve
+target.ply --port 7345``).  One request per line:
+
+    {"id": 1, "source": "scan.ply", "subsample": 0.5}
+    {"id": 2, "points": [[x, y, z], ...]}
+    {"batch": [{...}, {...}]}          # explicit lockstep batch
+    {"cmd": "info"} | {"cmd": "shutdown"}
+
+Response per request (same order; ``id`` echoed):
+
+    {"id": 1, "ok": true, "R": [[...]x3], "t": [...], "mse": ..,
+     "sse": .., "converged": true, "gap": .., "nodes": .., "wall_s": ..}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import threading
+import time
+from typing import IO, List, Optional, Sequence
+
+import numpy as np
+
+from goicp_tpu.bnb import BnbParams, GoIcpResult, make_solver
+from goicp_tpu.core.logging import get_logger
+from goicp_tpu.io import load_cloud
+from goicp_tpu.nn.grid import build_distance_grid
+
+_QUERY_KEYS = ("source", "points", "subsample", "seed", "resize", "id", "init")
+# per-query BnbParams overrides accepted over the wire (whitelist: the
+# solve-semantics knobs a client may tune; device/engine topology stays
+# operator-controlled)
+_PARAM_KEYS = (
+    "mse_threshold", "trim_fraction", "max_rounds", "max_wall_s",
+    "init_multistart",
+)
+
+
+class RegistrationService:
+    """Holds one target resident; registers query sources against it.
+
+    ``params`` are the solve defaults (per-query overrides via the
+    whitelisted keys).  The distance field is built once at the service's
+    ``grid_resolution`` with nearest-index payload, so every backend the
+    per-query solver picks (grid bounds, grid ICP correspondences, or the
+    vestigial field of the exact/MXU paths) reuses it.
+    """
+
+    def __init__(
+        self,
+        target: np.ndarray,
+        params: BnbParams = BnbParams(),
+        name: str = "target",
+    ):
+        self.tgt = np.asarray(target, np.float32)
+        self.params = params
+        self.name = name
+        self.log = get_logger()
+        self._lock = threading.Lock()   # one device, one solve at a time
+        self.queries = 0
+        t0 = time.perf_counter()
+        self.grid = build_distance_grid(
+            self.tgt,
+            n=params.grid_resolution,
+            expand=params.grid_expand,
+            method=params.grid_method,
+            with_index=True,
+        )
+        import jax
+
+        jax.block_until_ready(self.grid.values)
+        self.log.info(
+            "service '%s': target %d pts resident, %d³ field built in %.2fs",
+            name, self.tgt.shape[0], int(self.grid.values.shape[0]),
+            time.perf_counter() - t0,
+        )
+
+    def _params(self, overrides: Optional[dict] = None) -> BnbParams:
+        if not overrides:
+            return self.params
+        bad = set(overrides) - set(_PARAM_KEYS)
+        if bad:
+            raise ValueError(f"unknown/forbidden param override(s): {sorted(bad)}")
+        return dataclasses.replace(self.params, **overrides)
+
+    def register(self, src: np.ndarray, **overrides) -> GoIcpResult:
+        """One globally-optimal solve against the resident target."""
+        p = self._params(overrides)
+        with self._lock:
+            self.queries += 1
+            return make_solver(src, self.tgt, p, grid=self.grid).run()
+
+    def register_batch(
+        self, sources: Sequence[np.ndarray], **overrides
+    ) -> List[GoIcpResult]:
+        """Micro-batched solve: all queries advance in lockstep — one fused
+        device dispatch per BnB round (``multipair.register_pairs`` against
+        the shared target)."""
+        from goicp_tpu.multipair import register_pairs
+
+        if not sources:
+            return []
+        p = self._params(overrides)
+        with self._lock:
+            self.queries += len(sources)
+            if len(sources) == 1:
+                return [
+                    make_solver(sources[0], self.tgt, p, grid=self.grid).run()
+                ]
+            return register_pairs([(s, self.tgt) for s in sources], p)
+
+    def warmup(self, n_src: int, seed: int = 0) -> GoIcpResult:
+        """Populate jit + persistent-compile caches for queries of size
+        ``n_src`` (synthetic source: a rigidly-moved target subsample)."""
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(self.tgt.shape[0], min(n_src, self.tgt.shape[0]),
+                         replace=n_src > self.tgt.shape[0])
+        A = rng.normal(size=(3, 3))
+        Q, Ru = np.linalg.qr(A)
+        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        src = (self.tgt[idx] @ Q.T).astype(np.float32)
+        t0 = time.perf_counter()
+        res = self.register(src)
+        self.log.info(
+            "warmup n=%d: %.2fs (converged=%s)", n_src,
+            time.perf_counter() - t0, res.converged,
+        )
+        return res
+
+    def info(self) -> dict:
+        import jax
+
+        return {
+            "ok": True,
+            "service": self.name,
+            "target_points": int(self.tgt.shape[0]),
+            "grid_resolution": int(self.grid.values.shape[0]),
+            "queries_served": self.queries,
+            "devices": [str(d) for d in jax.devices()],
+            "defaults": {k: getattr(self.params, k) for k in _PARAM_KEYS},
+        }
+
+
+# ---------------------------------------------------------------------------
+# wire protocol
+# ---------------------------------------------------------------------------
+
+
+def _load_query_source(req: dict) -> np.ndarray:
+    if "points" in req:
+        pts = np.asarray(req["points"], np.float32)
+        if pts.ndim != 2 or pts.shape[1] != 3:
+            raise ValueError(f"points must be [N,3], got {pts.shape}")
+        return pts * float(req.get("resize", 1.0))
+    if "source" in req:
+        return load_cloud(
+            req["source"],
+            subsample=float(req.get("subsample", 1.0)),
+            resize=float(req.get("resize", 1.0)),
+            seed=int(req.get("seed", 0)),
+        )
+    raise ValueError("request needs 'source' (path) or 'points'")
+
+
+def _result_json(req: dict, res: GoIcpResult) -> dict:
+    return {
+        "id": req.get("id"),
+        "ok": True,
+        "R": np.asarray(res.transform.R, np.float64).round(9).tolist(),
+        "t": np.asarray(res.transform.t, np.float64).round(9).tolist(),
+        "sse": float(res.sse),
+        "mse": float(res.mse),
+        "converged": bool(res.converged),
+        "gap": float(res.gap),
+        "nodes": int(res.rot_nodes),
+        "wall_s": round(float(res.wall_s), 4),
+    }
+
+
+def _error_json(req, err: Exception) -> dict:
+    rid = req.get("id") if isinstance(req, dict) else None
+    return {"id": rid, "ok": False, "error": f"{type(err).__name__}: {err}"}
+
+
+def _overrides(req: dict) -> dict:
+    return {k: req[k] for k in _PARAM_KEYS if k in req}
+
+
+def handle_request(service: RegistrationService, req: dict) -> dict | list:
+    """One decoded request → one JSON-serializable response (or a list for
+    ``batch`` requests).  Raises nothing: errors come back as records."""
+    try:
+        if not isinstance(req, dict):
+            raise ValueError("request must be a JSON object")
+        if req.get("cmd") == "info" or req.get("cmd") == "ping":
+            return service.info()
+        if "batch" in req:
+            subs = req["batch"]
+            srcs, errs = [], {}
+            for i, sub in enumerate(subs):
+                try:
+                    srcs.append(_load_query_source(sub))
+                except Exception as e:  # per-item isolation
+                    srcs.append(None)
+                    errs[i] = _error_json(sub, e)
+            live = [s for s in srcs if s is not None]
+            ov = _overrides(req)
+            # uniform overrides only: a batch advances in lockstep, so
+            # per-item thresholds would force singleton dispatches anyway
+            results = service.register_batch(live, **ov) if live else []
+            out, r = [], iter(results)
+            for i, sub in enumerate(subs):
+                out.append(errs[i] if i in errs else _result_json(sub, next(r)))
+            return out
+        src = _load_query_source(req)
+        res = service.register(src, **_overrides(req))
+        return _result_json(req, res)
+    except Exception as e:
+        return _error_json(req, e)
+
+
+def serve_stdio(service: RegistrationService, inp: IO, out: IO) -> int:
+    """Line-delimited JSON loop on arbitrary text streams (stdio mode).
+    Returns the number of requests served.  ``{"cmd": "shutdown"}`` ends."""
+    n = 0
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            out.write(json.dumps(_error_json(None, e)) + "\n")
+            out.flush()
+            continue
+        if isinstance(req, dict) and req.get("cmd") == "shutdown":
+            out.write(json.dumps({"ok": True, "shutdown": True}) + "\n")
+            out.flush()
+            break
+        resp = handle_request(service, req)
+        if isinstance(resp, list):
+            for r in resp:
+                out.write(json.dumps(r) + "\n")
+        else:
+            out.write(json.dumps(resp) + "\n")
+        out.flush()
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# TCP server with cross-connection micro-batching
+# ---------------------------------------------------------------------------
+
+
+class _Pending:
+    __slots__ = ("req", "event", "resp")
+
+    def __init__(self, req):
+        self.req = req
+        self.event = threading.Event()
+        self.resp = None
+
+
+class Batcher(threading.Thread):
+    """Drains queued single-register requests into lockstep batches.
+
+    Waits ``window_s`` after the first request for stragglers, takes up to
+    ``max_batch``, loads the sources, and runs ONE
+    :meth:`RegistrationService.register_batch`.  Requests with param
+    overrides, info commands, or load errors are answered individually.
+    """
+
+    def __init__(self, service: RegistrationService, max_batch: int = 8,
+                 window_s: float = 0.05):
+        super().__init__(daemon=True)
+        self.service = service
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.batches: List[int] = []     # sizes, for observability/tests
+
+    def submit(self, req: dict) -> _Pending:
+        p = _Pending(req)
+        self.q.put(p)
+        return p
+
+    def stop(self):
+        self._stop.set()
+        self.q.put(None)  # wake the drain loop
+
+    def run(self):
+        while not self._stop.is_set():
+            first = self.q.get()
+            if first is None:
+                continue
+            group = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(group) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                group.append(nxt)
+            self._serve_group(group)
+
+    def _serve_group(self, group: List[_Pending]):
+        # anything that can't join a uniform lockstep batch answers solo
+        solo, batch, srcs = [], [], []
+        for p in group:
+            req = p.req
+            if (
+                not isinstance(req, dict)
+                or "cmd" in req
+                or "batch" in req
+                or _overrides(req)
+            ):
+                solo.append(p)
+                continue
+            try:
+                srcs.append(_load_query_source(req))
+                batch.append(p)
+            except Exception as e:
+                p.resp = _error_json(req, e)
+                p.event.set()
+        for p in solo:
+            p.resp = handle_request(self.service, p.req)
+            p.event.set()
+        if batch:
+            self.batches.append(len(batch))
+            try:
+                results = self.service.register_batch(srcs)
+                for p, res in zip(batch, results):
+                    p.resp = _result_json(p.req, res)
+            except Exception as e:
+                for p in batch:
+                    p.resp = _error_json(p.req, e)
+            for p in batch:
+                p.event.set()
+
+
+def serve_tcp(
+    service: RegistrationService,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_batch: int = 8,
+    window_s: float = 0.05,
+    ready: Optional[threading.Event] = None,
+    bound: Optional[list] = None,
+):
+    """Blocking TCP server: one JSON request per line per connection,
+    concurrent connections micro-batched through a :class:`Batcher`.
+    ``{"cmd": "shutdown"}`` from any client stops the server.  ``ready`` /
+    ``bound`` (a list to receive the actual port) support test harnesses."""
+    import socketserver
+
+    batcher = Batcher(service, max_batch=max_batch, window_s=window_s)
+    batcher.start()
+    log = get_logger()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                try:
+                    req = json.loads(raw.decode())
+                except Exception as e:
+                    self._send(_error_json(None, e))
+                    continue
+                if isinstance(req, dict) and req.get("cmd") == "shutdown":
+                    self._send({"ok": True, "shutdown": True})
+                    threading.Thread(
+                        target=server.shutdown, daemon=True
+                    ).start()
+                    return
+                pending = batcher.submit(req)
+                pending.event.wait()
+                resp = pending.resp
+                if isinstance(resp, list):
+                    for r in resp:
+                        self._send(r)
+                else:
+                    self._send(resp)
+
+        def _send(self, obj):
+            self.wfile.write((json.dumps(obj) + "\n").encode())
+            self.wfile.flush()
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with Server((host, port), Handler) as server:
+        actual = server.server_address[1]
+        if bound is not None:
+            bound.append(actual)
+        log.info("serving '%s' on %s:%d (max_batch=%d window=%.0fms)",
+                 service.name, host, actual, max_batch, window_s * 1e3)
+        if ready is not None:
+            ready.set()
+        server.serve_forever()
+    batcher.stop()
+    return batcher
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m goicp_tpu serve <target.{ply,txt}> [options]
+# ---------------------------------------------------------------------------
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    import argparse
+    import sys
+
+    from goicp_tpu.core.cache import enable_persistent_cache
+
+    ap = argparse.ArgumentParser(
+        prog="goicp_tpu serve",
+        description="Target-resident Go-ICP registration service "
+                    "(JSON-lines over stdio or TCP).",
+    )
+    ap.add_argument("target", help="resident target cloud (.ply/.txt)")
+    ap.add_argument("--toml", default=None,
+                    help="scenario TOML providing solver defaults "
+                         "([params] + [tpu] sections)")
+    ap.add_argument("--resize", type=float, default=None,
+                    help="scale the target (default: TOML resize or 1.0)")
+    ap.add_argument("--subsample", type=float, default=None,
+                    help="subsample the target (default: TOML or 1.0)")
+    ap.add_argument("--port", type=int, default=None,
+                    help="TCP port (omit for stdio mode; 0 = ephemeral)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="micro-batch cap for concurrent TCP queries")
+    ap.add_argument("--window-ms", type=float, default=50.0,
+                    help="micro-batch gather window")
+    ap.add_argument("--warmup", type=int, default=0, metavar="N_SRC",
+                    help="pre-compile the solve path for N_SRC-point queries")
+    args = ap.parse_args(argv)
+
+    enable_persistent_cache()
+    if args.toml:
+        from goicp_tpu.cli import bnb_params_from_config
+        from goicp_tpu.core.config import Config
+
+        cfg = Config(args.toml)
+        params = bnb_params_from_config(cfg)
+        resize = args.resize if args.resize is not None else cfg.resize
+        subsample = (
+            args.subsample if args.subsample is not None else cfg.subsample
+        )
+    else:
+        params = BnbParams()
+        resize = args.resize if args.resize is not None else 1.0
+        subsample = args.subsample if args.subsample is not None else 1.0
+
+    tgt = load_cloud(args.target, subsample=subsample, resize=resize)
+    service = RegistrationService(tgt, params, name=args.target)
+    if args.warmup:
+        service.warmup(args.warmup)
+
+    if args.port is None:
+        serve_stdio(service, sys.stdin, sys.stdout)
+    else:
+        serve_tcp(service, host=args.host, port=args.port,
+                  max_batch=args.max_batch, window_s=args.window_ms / 1e3)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
