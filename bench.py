@@ -66,10 +66,15 @@ def run_headline():
         res = make_solver(src, tgt, params).run()
         return time.perf_counter() - t0, res
 
-    # warmup: populate jit caches (first TPU compile is 20-40 s)
+    # warmup: populate jit caches (first TPU compile is 20-40 s).  5 timed
+    # reps: the solve is deterministic (same node count every run), so the
+    # spread is pure tunnel/link noise — one-sided stalls that only ever ADD
+    # time (measured 2026-08-19: runs 15.6/14.6/12.2 s for the identical
+    # 1.79M-node tree that ran 8.37-8.44 s the day before).  Median is the
+    # headline; min is also reported as the machine-capability estimate.
     _, res0 = solve()
     times = []
-    for _ in range(3):
+    for _ in range(5):
         dt, res = solve()
         times.append(dt)
     wall = float(np.median(times))
@@ -179,6 +184,54 @@ def run_multipair(n_pairs=4):
     }
 
 
+def run_serving(n_queries=8, n_src=1200):
+    """Warm serving latency against a resident bunny target: median single-
+    query wall + per-query wall of one micro-batched lockstep dispatch
+    (serve.RegistrationService; docs/SERVING.md)."""
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.io import load_cloud
+    from goicp_tpu.serve import RegistrationService
+
+    base = os.path.join(_HERE, "data", "bunny")
+    tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.05,
+                     seed=0)
+    svc = RegistrationService(
+        tgt, BnbParams(mse_threshold=1e-4, max_rounds=600), name="bench"
+    )
+    rng = np.random.default_rng(11)
+    queries = []
+    for _ in range(n_queries):
+        A = rng.normal(size=(3, 3))
+        Q, Ru = np.linalg.qr(A)
+        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+        idx = rng.choice(tgt.shape[0], n_src, replace=False)
+        queries.append(((tgt[idx] - t) @ Q).astype(np.float32))
+
+    svc.register(queries[0])                     # warm single path
+    singles = []
+    for q in queries[:3]:
+        t0 = time.perf_counter()
+        res = svc.register(q)
+        singles.append(time.perf_counter() - t0)
+        assert res.converged
+    svc.register_batch(queries)                  # warm batch path
+    t0 = time.perf_counter()
+    batch = svc.register_batch(queries)
+    bwall = time.perf_counter() - t0
+    return {
+        "target_points": int(tgt.shape[0]),
+        "query_points": n_src,
+        "single_warm_s": round(float(np.median(singles)), 3),
+        "batch_n": n_queries,
+        "batch_total_s": round(bwall, 3),
+        "batch_per_query_s": round(bwall / n_queries, 3),
+        "all_converged": bool(all(r.converged for r in batch)),
+    }
+
+
 def main():
     from goicp_tpu.core.cache import enable_persistent_cache
 
@@ -226,6 +279,12 @@ def main():
         traceback.print_exc()
         multipair = {"error": f"{type(e).__name__}: {e}"}
 
+    try:
+        serving = run_serving()
+    except Exception as e:
+        traceback.print_exc()
+        serving = {"error": f"{type(e).__name__}: {e}"}
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -240,6 +299,9 @@ def main():
         # |p|^2 radius); against the reference's VALID-bounds solver (CPU
         # jly, 10-35 s) the same protocol gives:
         "vs_baseline_valid_bounds": round(10.0 / wall, 2),
+        # deterministic solve ⇒ run-to-run spread is one-sided tunnel noise;
+        # min is the machine-capability estimate (median stays the headline)
+        "value_best": round(float(np.min(times)), 4),
         "detail": {
             "protocol": "subsample 0.05 (Performance.xlsx), full epsilon-"
                         "certification with CORRECT rotation radii; the "
@@ -260,6 +322,7 @@ def main():
             "scenarios": scen,
             "headline_with_reference_invalid_radius": refbug,
             "multipair_lockstep": multipair,
+            "serving": serving,
             "multihost_scaling": _multihost_scaling_summary(),
         },
     }

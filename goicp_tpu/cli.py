@@ -202,6 +202,7 @@ def run_scenario(
             src,
             every_s=cfg.tpu.snapshot_every_s,
             png=cfg.tpu.snapshot_png,
+            html=cfg.tpu.snapshot_html,
         )
 
     t0 = time.perf_counter()

@@ -109,6 +109,9 @@ class TpuConfig:
                                     # one per this many seconds (0 = off) — the
                                     # headless render loop (goicp_kernel.cu:152-206)
     snapshot_png: bool = False      # also render a PNG per snapshot
+    snapshot_html: bool = True      # maintain snapshots/live.html — a self-
+                                    # reloading live view of the running solve
+                                    # (drops the reload on finish)
 
 
 @dataclasses.dataclass

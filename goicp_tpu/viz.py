@@ -123,6 +123,7 @@ class LiveSnapshotter:
         source: np.ndarray,
         every_s: float = 2.0,
         png: bool = False,
+        html: bool = True,
         max_snapshots: int = 200,
     ):
         import os
@@ -134,12 +135,15 @@ class LiveSnapshotter:
         self.source = np.asarray(source, np.float32)
         self.every_s = every_s
         self.png = png
+        self.html = html
         self.max_snapshots = max_snapshots
         self.paths: list[str] = []
+        self.states: list[SolverState] = []
         self._last = 0.0   # first publish always fires
         bus.subscribe(self._on_state)
 
     def _on_state(self, s: SolverState):
+        self.states.append(s)   # full trajectory for the live replay
         now = self._time.perf_counter()
         if (
             (now - self._last < self.every_s and not s.finished)
@@ -155,6 +159,17 @@ class LiveSnapshotter:
             cur_t=None if s.finished else s.cur_t,
         )
         self.paths.append(path)
+        if self.html:
+            # a LIVE view while the solver runs: live.html re-renders the
+            # trajectory so far and auto-reloads itself (meta refresh) until
+            # the final state drops the tag, leaving the interactive replay —
+            # the headless equivalent of the reference's window updating per
+            # frame (goicp_kernel.cu:152-206)
+            render_html(
+                self._os.path.join(self.dir, "live.html"),
+                self.target, self.source, self.states,
+                refresh_s=0.0 if s.finished else max(self.every_s, 1.0),
+            )
         if self.png:
             try:
                 render_png(
@@ -313,6 +328,7 @@ def render_html(
     phi: float = 0.35,
     theta: float = 0.6,
     spin: bool = False,
+    refresh_s: float = 0.0,
 ):
     """Self-contained interactive HTML replay of the solve — the headless
     framework's answer to the reference's live GL window
@@ -365,9 +381,20 @@ def render_html(
             for s in states
         ],
     }
-    with open(path, "w") as fp:
-        fp.write(
-            _HTML_TEMPLATE.replace(
-                "/*DATA*/", json.dumps(data, separators=(",", ":"))
-            )
+    html = _HTML_TEMPLATE.replace(
+        "/*DATA*/", json.dumps(data, separators=(",", ":"))
+    )
+    if refresh_s > 0:
+        # live mode: the page reloads itself while the solver keeps writing
+        # newer trajectories to the same file (LiveSnapshotter)
+        html = html.replace(
+            "<meta charset=\"utf-8\">",
+            f"<meta charset=\"utf-8\">"
+            f"<meta http-equiv=\"refresh\" content=\"{refresh_s:g}\">",
         )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fp:
+        fp.write(html)
+    import os as _os
+
+    _os.replace(tmp, path)  # atomic: a reloading browser never sees a torn file

@@ -59,7 +59,8 @@ def test_live_snapshotter_throttles(tmp_path):
     tgt = np.zeros((5, 3), np.float32)
     src = np.zeros((4, 3), np.float32)
     bus = ProgressBus()
-    LiveSnapshotter(bus, str(tmp_path / "s"), tgt, src, every_s=3600.0)
+    LiveSnapshotter(bus, str(tmp_path / "s"), tgt, src, every_s=3600.0,
+                    html=False)
     for r in range(10):
         bus.publish(_state(r))
     # first publish fires (initial _last=0), the rest are throttled
@@ -67,6 +68,29 @@ def test_live_snapshotter_throttles(tmp_path):
     # ...but the terminal state always writes
     bus.publish(_state(10, finished=True))
     assert len(os.listdir(tmp_path / "s")) == 2
+
+
+def test_live_snapshotter_live_html(tmp_path):
+    """live.html self-reloads while the solve runs and becomes the final
+    interactive replay (no reload tag) when it finishes."""
+    tgt = np.random.default_rng(0).normal(size=(30, 3)).astype(np.float32)
+    src = np.random.default_rng(1).normal(size=(20, 3)).astype(np.float32)
+    bus = ProgressBus()
+    snap = LiveSnapshotter(bus, str(tmp_path / "s"), tgt, src, every_s=0.0)
+
+    bus.publish(_state(0))
+    live = tmp_path / "s" / "live.html"
+    mid = live.read_text()
+    assert 'http-equiv="refresh"' in mid
+
+    bus.publish(_state(1))
+    bus.publish(_state(2, finished=True))
+    final = live.read_text()
+    assert 'http-equiv="refresh"' not in final
+    # the full trajectory (all publishes, throttled or not) is embedded
+    assert '"round":2' in final and '"round":0' in final
+    assert len(snap.states) == 3
+    assert not live.with_name("live.html.tmp").exists()
 
 
 def test_render_html_replay(tmp_path):
