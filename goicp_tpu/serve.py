@@ -21,7 +21,14 @@ target.ply --port 7345``).  One request per line:
 
     {"id": 1, "source": "scan.ply", "subsample": 0.5}
     {"id": 2, "points": [[x, y, z], ...]}
-    {"batch": [{...}, {...}]}          # explicit lockstep batch
+    {"id": 3, "points": [...], "init": {"R": [[..]x3], "t": [..]}}
+                                       # re-localization prior: pinned as a
+                                       # multistart seed (still optimal)
+    {"id": 4, "points": [...], "mode": "icp", "init": {...}}
+                                       # tracking path: local ICP only
+    {"batch": [{...}, {...}]}          # explicit batch (icp-mode items share
+                                       # one vmapped refine; goicp items one
+                                       # lockstep BnB)
     {"cmd": "info"} | {"cmd": "shutdown"}
 
 Response per request (same order; ``id`` echoed):
@@ -43,6 +50,8 @@ import numpy as np
 
 from goicp_tpu.bnb import BnbParams, GoIcpResult, make_solver
 from goicp_tpu.core.logging import get_logger
+from goicp_tpu.core.metrics import Metrics
+from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.io import load_cloud
 from goicp_tpu.nn.grid import build_distance_grid
 
@@ -103,12 +112,19 @@ class RegistrationService:
             raise ValueError(f"unknown/forbidden param override(s): {sorted(bad)}")
         return dataclasses.replace(self.params, **overrides)
 
-    def register(self, src: np.ndarray, **overrides) -> GoIcpResult:
-        """One globally-optimal solve against the resident target."""
+    def register(
+        self,
+        src: np.ndarray,
+        init: Optional[RigidTransform] = None,
+        **overrides,
+    ) -> GoIcpResult:
+        """One globally-optimal solve against the resident target.  ``init``
+        (a re-localization prior) is pinned as a multistart seed — the solve
+        stays globally optimal either way."""
         p = self._params(overrides)
         with self._lock:
             self.queries += 1
-            return make_solver(src, self.tgt, p, grid=self.grid).run()
+            return make_solver(src, self.tgt, p, grid=self.grid).run(init)
 
     def register_batch(
         self, sources: Sequence[np.ndarray], **overrides
@@ -128,6 +144,125 @@ class RegistrationService:
                     make_solver(sources[0], self.tgt, p, grid=self.grid).run()
                 ]
             return register_pairs([(s, self.tgt) for s in sources], p)
+
+    def _icp_setup(self, p: BnbParams):
+        import jax.numpy as jnp
+
+        from goicp_tpu.icp import (
+            IcpParams,
+            exact_correspondence,
+            grid_correspondence,
+        )
+
+        ip = IcpParams(
+            max_iter=p.icp_max_iter,
+            rel_tol=min(p.icp_rel_tol, p.mse_threshold),
+            trim_fraction=p.trim_fraction,
+        )
+        tgt_j = jnp.asarray(self.tgt)
+        corr = (
+            exact_correspondence(tgt_j)
+            if self.tgt.shape[0] <= p.icp_exact_max
+            # the resident grid: O(1) correspondences per iteration
+            else grid_correspondence(self.grid, tgt_j)
+        )
+        return ip, corr
+
+    def refine(
+        self,
+        src: np.ndarray,
+        init: Optional[RigidTransform] = None,
+        **overrides,
+    ) -> GoIcpResult:
+        """Local-only ICP refinement from ``init`` (the tracking path: a
+        good prior exists, no global certification wanted — ≙ the
+        reference's per-frame ICP modes, ``icp_kernel.cu:48-217``)."""
+        import jax.numpy as jnp
+
+        from goicp_tpu.icp import run_icp
+
+        p = self._params(overrides)
+        ip, corr = self._icp_setup(p)
+        T0 = init if init is not None else RigidTransform.identity()
+        t0 = time.perf_counter()
+        with self._lock:
+            self.queries += 1
+            res = run_icp(jnp.asarray(src, jnp.float32), corr, T0, ip)
+        sse = float(res.sse)
+        n_eff = max(1, int(round(src.shape[0] * (1.0 - p.trim_fraction))))
+        return GoIcpResult(
+            transform=RigidTransform(
+                np.asarray(res.transform.R), np.asarray(res.transform.t)
+            ),
+            sse=sse,
+            mse=sse / n_eff,
+            converged=sse / n_eff <= p.mse_threshold,
+            gap=0.0,
+            rot_nodes=0,
+            trans_nodes=0,
+            icp_iters=int(res.iters),
+            rounds=0,
+            wall_s=time.perf_counter() - t0,
+            metrics=Metrics(),
+        )
+
+    def refine_batch(
+        self,
+        sources: Sequence[np.ndarray],
+        inits: Optional[Sequence[Optional[RigidTransform]]] = None,
+        **overrides,
+    ) -> List[GoIcpResult]:
+        """Batched tracking: every query refines in ONE vmapped dispatch
+        (``multipair.icp_pairs`` against the shared resident target)."""
+        from goicp_tpu.multipair import icp_pairs
+
+        if not sources:
+            return []
+        p = self._params(overrides)
+        if p.trim_fraction > 0.0:
+            # padded-batch weights and trimming don't compose; serve solo
+            ins = inits or [None] * len(sources)
+            return [
+                self.refine(s, i, **overrides) for s, i in zip(sources, ins)
+            ]
+        ip, _ = self._icp_setup(p)
+        B = len(sources)
+        R0 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        t0v = np.zeros((B, 3), np.float32)
+        for b, T in enumerate(inits or []):
+            if T is not None:
+                R0[b] = np.asarray(T.R, np.float32)
+                t0v[b] = np.asarray(T.t, np.float32)
+        t_start = time.perf_counter()
+        with self._lock:
+            self.queries += B
+            T, sse, iters = icp_pairs(
+                [(s, self.tgt) for s in sources],
+                inits=RigidTransform(R0, t0v),
+                params=ip,
+            )
+        wall = time.perf_counter() - t_start
+        Rn = np.asarray(T.R)
+        tn = np.asarray(T.t)
+        sse = np.asarray(sse, np.float64)
+        iters = np.asarray(iters)
+        out = []
+        for b, s in enumerate(sources):
+            mse = float(sse[b]) / max(1, s.shape[0])
+            out.append(GoIcpResult(
+                transform=RigidTransform(Rn[b], tn[b]),
+                sse=float(sse[b]),
+                mse=mse,
+                converged=mse <= p.mse_threshold,
+                gap=0.0,
+                rot_nodes=0,
+                trans_nodes=0,
+                icp_iters=int(iters[b]),
+                rounds=0,
+                wall_s=wall,
+                metrics=Metrics(),
+            ))
+        return out
 
     def warmup(self, n_src: int, seed: int = 0) -> GoIcpResult:
         """Populate jit + persistent-compile caches for queries of size
@@ -195,6 +330,7 @@ def _result_json(req: dict, res: GoIcpResult) -> dict:
         "converged": bool(res.converged),
         "gap": float(res.gap),
         "nodes": int(res.rot_nodes),
+        "icp_iters": int(res.icp_iters),
         "wall_s": round(float(res.wall_s), 4),
     }
 
@@ -208,6 +344,30 @@ def _overrides(req: dict) -> dict:
     return {k: req[k] for k in _PARAM_KEYS if k in req}
 
 
+def _parse_init(req: dict) -> Optional[RigidTransform]:
+    """Optional ``"init": {"R": [[..]x3], "t": [..]}`` prior pose."""
+    obj = req.get("init")
+    if obj is None:
+        return None
+    R = np.asarray(obj["R"], np.float32)
+    t = np.asarray(obj.get("t", [0.0, 0.0, 0.0]), np.float32)
+    if R.shape != (3, 3) or t.shape != (3,):
+        raise ValueError(f"init shapes must be R[3,3], t[3]; got {R.shape}, {t.shape}")
+    if (
+        not np.allclose(R @ R.T, np.eye(3), atol=1e-3)
+        or abs(float(np.linalg.det(R)) - 1.0) > 1e-3
+    ):
+        raise ValueError("init.R is not a rotation (orthonormal, det=+1)")
+    return RigidTransform(R, t)
+
+
+def _mode(req: dict) -> str:
+    m = req.get("mode", "goicp")
+    if m not in ("goicp", "icp"):
+        raise ValueError(f"mode must be 'goicp' or 'icp', got {m!r}")
+    return m
+
+
 def handle_request(service: RegistrationService, req: dict) -> dict | list:
     """One decoded request → one JSON-serializable response (or a list for
     ``batch`` requests).  Raises nothing: errors come back as records."""
@@ -218,24 +378,55 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
             return service.info()
         if "batch" in req:
             subs = req["batch"]
-            srcs, errs = [], {}
-            for i, sub in enumerate(subs):
-                try:
-                    srcs.append(_load_query_source(sub))
-                except Exception as e:  # per-item isolation
-                    srcs.append(None)
-                    errs[i] = _error_json(sub, e)
-            live = [s for s in srcs if s is not None]
             ov = _overrides(req)
             # uniform overrides only: a batch advances in lockstep, so
-            # per-item thresholds would force singleton dispatches anyway
-            results = service.register_batch(live, **ov) if live else []
-            out, r = [], iter(results)
+            # per-item thresholds would force singleton dispatches anyway.
+            # Partition by lane: icp-mode queries share one vmapped refine
+            # dispatch (inits allowed); init-free goicp queries share the
+            # lockstep BnB; goicp-with-init answers solo (the lockstep
+            # driver has no per-pair seed plumbing).
+            out: list = [None] * len(subs)
+            lanes = {"icp": [], "goicp": [], "solo": []}
+            parsed = {}
             for i, sub in enumerate(subs):
-                out.append(errs[i] if i in errs else _result_json(sub, next(r)))
+                try:
+                    src = _load_query_source(sub)
+                    init = _parse_init(sub)
+                    m = _mode(sub)
+                    parsed[i] = (src, init)
+                    if m == "icp":
+                        lanes["icp"].append(i)
+                    elif init is None:
+                        lanes["goicp"].append(i)
+                    else:
+                        lanes["solo"].append(i)
+                except Exception as e:  # per-item isolation
+                    out[i] = _error_json(sub, e)
+            if lanes["icp"]:
+                results = service.refine_batch(
+                    [parsed[i][0] for i in lanes["icp"]],
+                    inits=[parsed[i][1] for i in lanes["icp"]],
+                    **ov,
+                )
+                for i, res in zip(lanes["icp"], results):
+                    out[i] = _result_json(subs[i], res)
+            if lanes["goicp"]:
+                results = service.register_batch(
+                    [parsed[i][0] for i in lanes["goicp"]], **ov
+                )
+                for i, res in zip(lanes["goicp"], results):
+                    out[i] = _result_json(subs[i], res)
+            for i in lanes["solo"]:
+                out[i] = _result_json(
+                    subs[i], service.register(parsed[i][0], parsed[i][1], **ov)
+                )
             return out
         src = _load_query_source(req)
-        res = service.register(src, **_overrides(req))
+        init = _parse_init(req)
+        if _mode(req) == "icp":
+            res = service.refine(src, init, **_overrides(req))
+        else:
+            res = service.register(src, init, **_overrides(req))
         return _result_json(req, res)
     except Exception as e:
         return _error_json(req, e)
@@ -333,8 +524,10 @@ class Batcher(threading.Thread):
             self._serve_group(group)
 
     def _serve_group(self, group: List[_Pending]):
-        # anything that can't join a uniform lockstep batch answers solo
-        solo, batch, srcs = [], [], []
+        # anything that can't join a uniform lane answers solo; icp-mode
+        # queries share one vmapped refine, init-free goicp queries share
+        # one lockstep BnB (goicp-with-init has no lockstep seed plumbing)
+        solo, goicp, g_srcs, icp, i_srcs, i_inits = [], [], [], [], [], []
         for p in group:
             req = p.req
             if (
@@ -346,24 +539,39 @@ class Batcher(threading.Thread):
                 solo.append(p)
                 continue
             try:
-                srcs.append(_load_query_source(req))
-                batch.append(p)
+                src = _load_query_source(req)
+                init = _parse_init(req)
+                if _mode(req) == "icp":
+                    icp.append(p)
+                    i_srcs.append(src)
+                    i_inits.append(init)
+                elif init is None:
+                    goicp.append(p)
+                    g_srcs.append(src)
+                else:
+                    solo.append(p)
             except Exception as e:
                 p.resp = _error_json(req, e)
                 p.event.set()
         for p in solo:
             p.resp = handle_request(self.service, p.req)
             p.event.set()
-        if batch:
-            self.batches.append(len(batch))
+        for lane, srcs, run in (
+            (goicp, g_srcs, lambda s: self.service.register_batch(s)),
+            (icp, i_srcs,
+             lambda s: self.service.refine_batch(s, inits=i_inits)),
+        ):
+            if not lane:
+                continue
+            self.batches.append(len(lane))
             try:
-                results = self.service.register_batch(srcs)
-                for p, res in zip(batch, results):
+                results = run(srcs)
+                for p, res in zip(lane, results):
                     p.resp = _result_json(p.req, res)
             except Exception as e:
-                for p in batch:
+                for p in lane:
                     p.resp = _error_json(p.req, e)
-            for p in batch:
+            for p in lane:
                 p.event.set()
 
 

@@ -181,6 +181,87 @@ def test_batcher_groups_uniform_requests(service, rng):
     b.stop()
 
 
+def test_refine_tracking_path(service, rng):
+    """mode=icp: local refinement from a prior — converges from a nearby
+    init, reports icp_iters, and never opens a BnB tree."""
+    from goicp_tpu.core.types import RigidTransform
+    from goicp_tpu.geo.rotation import axis_angle_rotation
+    import jax.numpy as jnp
+
+    src, Q, t = _query(service, rng)
+    # perturb the GT pose slightly: the tracking prior
+    dR = np.asarray(axis_angle_rotation(jnp.float32([0.05, -0.03, 0.02])))
+    init = RigidTransform((dR @ Q).astype(np.float32), t + 0.01)
+    res = service.refine(src, init)
+    assert res.converged and res.rot_nodes == 0 and res.icp_iters > 0
+    assert np.allclose(np.asarray(res.transform.R), Q, atol=5e-3)
+
+    # far-off init: honest failure (no global search in icp mode)
+    bad = service.refine(src, None)
+    assert isinstance(bad.converged, bool)
+
+
+def test_refine_batch_matches_singles(service, rng):
+    from goicp_tpu.core.types import RigidTransform
+
+    queries = [_query(service, rng, n=60) for _ in range(3)]
+    inits = [RigidTransform(Q.astype(np.float32), t) for _, Q, t in queries]
+    batch = service.refine_batch([q[0] for q in queries], inits=inits)
+    singles = [
+        service.refine(q[0], i) for q, i in zip(queries, inits)
+    ]
+    for b, s in zip(batch, singles):
+        assert b.converged == s.converged
+        assert np.allclose(
+            np.asarray(b.transform.R), np.asarray(s.transform.R), atol=1e-4
+        )
+
+
+def test_wire_init_and_mode(service, rng):
+    src, Q, t = _query(service, rng, n=70)
+    req = {
+        "id": "trk",
+        "points": src.tolist(),
+        "mode": "icp",
+        "init": {"R": Q.tolist(), "t": t.tolist()},
+    }
+    resp = handle_request(service, req)
+    assert resp["ok"] and resp["converged"] and resp["nodes"] == 0
+    assert resp["icp_iters"] > 0
+    assert np.allclose(np.array(resp["R"]), Q, atol=5e-3)
+
+    bad = handle_request(
+        service,
+        {"points": src.tolist(), "init": {"R": np.eye(3)[:2].tolist()}},
+    )
+    assert not bad["ok"] and "init" in bad["error"]
+    bad2 = handle_request(
+        service,
+        {"points": src.tolist(),
+         "init": {"R": (2 * np.eye(3)).tolist(), "t": [0, 0, 0]}},
+    )
+    assert not bad2["ok"] and "rotation" in bad2["error"]
+    bad3 = handle_request(service, {"points": src.tolist(), "mode": "warp"})
+    assert not bad3["ok"] and "mode" in bad3["error"]
+
+
+def test_wire_batch_mixed_lanes(service, rng):
+    g1, g2, g3 = (_query(service, rng, n=60) for _ in range(3))
+    resp = handle_request(service, {"batch": [
+        {"id": 0, "points": g1[0].tolist()},                       # goicp lane
+        {"id": 1, "points": g2[0].tolist(), "mode": "icp",
+         "init": {"R": g2[1].tolist(), "t": g2[2].tolist()}},      # icp lane
+        {"id": 2, "points": g3[0].tolist(),
+         "init": {"R": g3[1].tolist(), "t": g3[2].tolist()}},      # solo
+    ]})
+    assert [r["id"] for r in resp] == [0, 1, 2]
+    assert all(r["ok"] and r["converged"] for r in resp), resp
+    for r, (srcq, Q, t) in zip(resp, (g1, g2, g3)):
+        a = srcq @ np.array(r["R"]).T + np.array(r["t"])
+        b = srcq @ Q.T + t
+        assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
+
+
 def test_grid_reuse_matches_fresh_solver(service, rng):
     from goicp_tpu.bnb import make_solver
 
