@@ -82,6 +82,7 @@ def register_pairs(
     batched: bool = True,
     mesh=None,
     local: bool = False,
+    solver_grid=None,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair.
 
@@ -96,6 +97,10 @@ def register_pairs(
     own devices with no cross-pair communication.  Falls back to the serial
     per-pair loop for configurations the lockstep driver does not cover
     (trimming, quaternion cubes, grid bounds for huge targets).
+
+    ``solver_grid``: a prebuilt :class:`~goicp_tpu.nn.grid.DistanceGrid` for
+    the shared target — only valid when every pair has the SAME target
+    (the serving shape); reused by the fallback per-pair solvers.
     """
     p = params
     lockstep_ok = (
@@ -108,7 +113,10 @@ def register_pairs(
     )
     if lockstep_ok:
         return _register_pairs_lockstep(pairs, p, mesh=mesh)
-    return [make_solver(s, t, params, local=local).run() for s, t in pairs]
+    return [
+        make_solver(s, t, params, local=local, grid=solver_grid).run()
+        for s, t in pairs
+    ]
 
 
 # ---------------------------------------------------------------------------

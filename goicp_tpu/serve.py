@@ -55,7 +55,9 @@ from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.io import load_cloud
 from goicp_tpu.nn.grid import build_distance_grid
 
-_QUERY_KEYS = ("source", "points", "subsample", "seed", "resize", "id", "init")
+_QUERY_KEYS = (
+    "source", "points", "subsample", "seed", "resize", "id", "init", "mode",
+)
 # per-query BnbParams overrides accepted over the wire (whitelist: the
 # solve-semantics knobs a client may tune; device/engine topology stays
 # operator-controlled)
@@ -80,13 +82,20 @@ class RegistrationService:
         target: np.ndarray,
         params: BnbParams = BnbParams(),
         name: str = "target",
+        source_root: Optional[str] = None,
     ):
         self.tgt = np.asarray(target, np.float32)
         self.params = params
         self.name = name
+        # filesystem policy for {"source": <path>} queries: None = any path
+        # (trusted local stdio), "" = paths disabled (send "points"), a
+        # directory = queries confined under it (the TCP default is "")
+        self.source_root = source_root
         self.log = get_logger()
         self._lock = threading.Lock()   # one device, one solve at a time
         self.queries = 0
+        self._tgt_dev = None            # device-resident target, first use
+        self._icp_cache: dict = {}      # (params key) -> (IcpParams, corr)
         t0 = time.perf_counter()
         self.grid = build_distance_grid(
             self.tgt,
@@ -143,9 +152,22 @@ class RegistrationService:
                 return [
                     make_solver(sources[0], self.tgt, p, grid=self.grid).run()
                 ]
-            return register_pairs([(s, self.tgt) for s in sources], p)
+            return register_pairs(
+                [(s, self.tgt) for s in sources], p, solver_grid=self.grid
+            )
 
     def _icp_setup(self, p: BnbParams):
+        """(IcpParams, correspondence closure) for the tracking path —
+        cached per parameter key, with the target uploaded to device ONCE
+        (the resident-state contract in docs/SERVING.md)."""
+        key = (
+            p.icp_max_iter, p.icp_rel_tol, p.mse_threshold,
+            p.trim_fraction, p.icp_exact_max,
+        )
+        hit = self._icp_cache.get(key)
+        if hit is not None:
+            return hit
+
         import jax.numpy as jnp
 
         from goicp_tpu.icp import (
@@ -154,18 +176,20 @@ class RegistrationService:
             grid_correspondence,
         )
 
+        if self._tgt_dev is None:
+            self._tgt_dev = jnp.asarray(self.tgt)
         ip = IcpParams(
             max_iter=p.icp_max_iter,
             rel_tol=min(p.icp_rel_tol, p.mse_threshold),
             trim_fraction=p.trim_fraction,
         )
-        tgt_j = jnp.asarray(self.tgt)
         corr = (
-            exact_correspondence(tgt_j)
+            exact_correspondence(self._tgt_dev)
             if self.tgt.shape[0] <= p.icp_exact_max
             # the resident grid: O(1) correspondences per iteration
-            else grid_correspondence(self.grid, tgt_j)
+            else grid_correspondence(self.grid, self._tgt_dev)
         )
+        self._icp_cache[key] = (ip, corr)
         return ip, corr
 
     def refine(
@@ -268,7 +292,10 @@ class RegistrationService:
         """Populate jit + persistent-compile caches for queries of size
         ``n_src`` (synthetic source: a rigidly-moved target subsample)."""
         rng = np.random.default_rng(seed)
-        idx = rng.choice(self.tgt.shape[0], min(n_src, self.tgt.shape[0]),
+        # exactly n_src points (sampling with replacement past the target
+        # size): the jit cache is keyed on the query SHAPE, so warming any
+        # other size would not help the first real n_src-point query
+        idx = rng.choice(self.tgt.shape[0], n_src,
                          replace=n_src > self.tgt.shape[0])
         A = rng.normal(size=(3, 3))
         Q, Ru = np.linalg.qr(A)
@@ -303,15 +330,35 @@ class RegistrationService:
 # ---------------------------------------------------------------------------
 
 
-def _load_query_source(req: dict) -> np.ndarray:
+def _validate_keys(req: dict):
+    unknown = set(req) - set(_QUERY_KEYS) - set(_PARAM_KEYS)
+    if unknown:
+        raise ValueError(f"unknown request key(s): {sorted(unknown)}")
+
+
+def _load_query_source(req: dict, source_root: Optional[str] = None) -> np.ndarray:
     if "points" in req:
         pts = np.asarray(req["points"], np.float32)
         if pts.ndim != 2 or pts.shape[1] != 3:
             raise ValueError(f"points must be [N,3], got {pts.shape}")
         return pts * float(req.get("resize", 1.0))
     if "source" in req:
+        import os
+
+        path = str(req["source"])
+        if source_root == "":
+            raise ValueError(
+                "filesystem 'source' queries are disabled on this server; "
+                "send inline 'points' (operator: --source-root enables paths)"
+            )
+        if source_root is not None:
+            root = os.path.realpath(source_root)
+            real = os.path.realpath(os.path.join(root, path))
+            if not (real + os.sep).startswith(root + os.sep):
+                raise ValueError("source path escapes the served root")
+            path = real
         return load_cloud(
-            req["source"],
+            path,
             subsample=float(req.get("subsample", 1.0)),
             resize=float(req.get("resize", 1.0)),
             seed=int(req.get("seed", 0)),
@@ -376,30 +423,36 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
             raise ValueError("request must be a JSON object")
         if req.get("cmd") == "info" or req.get("cmd") == "ping":
             return service.info()
+        if "cmd" in req:
+            raise ValueError(f"unknown cmd {req['cmd']!r}")
         if "batch" in req:
             subs = req["batch"]
             ov = _overrides(req)
-            # uniform overrides only: a batch advances in lockstep, so
-            # per-item thresholds would force singleton dispatches anyway.
-            # Partition by lane: icp-mode queries share one vmapped refine
-            # dispatch (inits allowed); init-free goicp queries share the
-            # lockstep BnB; goicp-with-init answers solo (the lockstep
-            # driver has no per-pair seed plumbing).
+            # Batch-level overrides apply to every item; a per-item override
+            # can't join a lockstep lane (everything in a lane shares one
+            # dispatch), so override-bearing items answer solo with their
+            # merged overrides — the same contract as the TCP Batcher.
+            # Lanes: icp-mode queries share one vmapped refine dispatch
+            # (inits allowed); init-free goicp queries share the lockstep
+            # BnB; goicp-with-init answers solo (the lockstep driver has no
+            # per-pair seed plumbing).
             out: list = [None] * len(subs)
             lanes = {"icp": [], "goicp": [], "solo": []}
             parsed = {}
             for i, sub in enumerate(subs):
                 try:
-                    src = _load_query_source(sub)
+                    _validate_keys(sub)
+                    src = _load_query_source(sub, service.source_root)
                     init = _parse_init(sub)
                     m = _mode(sub)
-                    parsed[i] = (src, init)
-                    if m == "icp":
-                        lanes["icp"].append(i)
-                    elif init is None:
-                        lanes["goicp"].append(i)
-                    else:
+                    iov = {**ov, **_overrides(sub)}
+                    parsed[i] = (src, init, m, iov)
+                    if _overrides(sub) or (m == "goicp" and init is not None):
                         lanes["solo"].append(i)
+                    elif m == "icp":
+                        lanes["icp"].append(i)
+                    else:
+                        lanes["goicp"].append(i)
                 except Exception as e:  # per-item isolation
                     out[i] = _error_json(sub, e)
             if lanes["icp"]:
@@ -417,11 +470,12 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
                 for i, res in zip(lanes["goicp"], results):
                     out[i] = _result_json(subs[i], res)
             for i in lanes["solo"]:
-                out[i] = _result_json(
-                    subs[i], service.register(parsed[i][0], parsed[i][1], **ov)
-                )
+                src, init, m, iov = parsed[i]
+                fn = service.refine if m == "icp" else service.register
+                out[i] = _result_json(subs[i], fn(src, init, **iov))
             return out
-        src = _load_query_source(req)
+        _validate_keys(req)
+        src = _load_query_source(req, service.source_root)
         init = _parse_init(req)
         if _mode(req) == "icp":
             res = service.refine(src, init, **_overrides(req))
@@ -539,7 +593,8 @@ class Batcher(threading.Thread):
                 solo.append(p)
                 continue
             try:
-                src = _load_query_source(req)
+                _validate_keys(req)
+                src = _load_query_source(req, self.service.source_root)
                 init = _parse_init(req)
                 if _mode(req) == "icp":
                     icp.append(p)
@@ -671,6 +726,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="micro-batch gather window")
     ap.add_argument("--warmup", type=int, default=0, metavar="N_SRC",
                     help="pre-compile the solve path for N_SRC-point queries")
+    ap.add_argument("--source-root", default=None, metavar="DIR",
+                    help="confine {'source': <path>} queries under DIR. "
+                         "TCP default: paths DISABLED (inline 'points' "
+                         "only); stdio default: any path (trusted local)")
     args = ap.parse_args(argv)
 
     enable_persistent_cache()
@@ -678,7 +737,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         from goicp_tpu.cli import bnb_params_from_config
         from goicp_tpu.core.config import Config
 
-        cfg = Config(args.toml)
+        cfg = Config.from_toml(args.toml)
         params = bnb_params_from_config(cfg)
         resize = args.resize if args.resize is not None else cfg.resize
         subsample = (
@@ -690,7 +749,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         subsample = args.subsample if args.subsample is not None else 1.0
 
     tgt = load_cloud(args.target, subsample=subsample, resize=resize)
-    service = RegistrationService(tgt, params, name=args.target)
+    source_root = args.source_root
+    if source_root is None and args.port is not None:
+        source_root = ""   # network exposure: filesystem queries opt-in only
+    service = RegistrationService(
+        tgt, params, name=args.target, source_root=source_root
+    )
     if args.warmup:
         service.warmup(args.warmup)
 

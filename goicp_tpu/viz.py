@@ -145,8 +145,10 @@ class LiveSnapshotter:
     def _on_state(self, s: SolverState):
         self.states.append(s)   # full trajectory for the live replay
         now = self._time.perf_counter()
-        if (
-            (now - self._last < self.every_s and not s.finished)
+        # the terminal state ALWAYS writes (throttle and snapshot cap do not
+        # apply): live.html must drop its reload tag and show the final pose
+        if not s.finished and (
+            now - self._last < self.every_s
             or len(self.paths) >= self.max_snapshots
         ):
             return

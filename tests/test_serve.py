@@ -262,6 +262,54 @@ def test_wire_batch_mixed_lanes(service, rng):
         assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
 
 
+def test_wire_per_item_batch_overrides_and_unknown_keys(service, rng):
+    src, Q, t = _query(service, rng, n=60)
+    init = {"R": Q.tolist(), "t": t.tolist()}
+    resp = handle_request(service, {"batch": [
+        {"id": 0, "points": src.tolist(), "mode": "icp", "init": init},
+        # per-item override: impossible threshold -> honest converged=False
+        {"id": 1, "points": src.tolist(), "mode": "icp", "init": init,
+         "mse_threshold": 1e-22},
+    ]})
+    assert resp[0]["ok"] and resp[0]["converged"]
+    assert resp[1]["ok"] and not resp[1]["converged"]
+
+    bad = handle_request(service, {"points": src.tolist(), "subsmaple": 0.5})
+    assert not bad["ok"] and "subsmaple" in bad["error"]
+    badcmd = handle_request(service, {"cmd": "reboot"})
+    assert not badcmd["ok"] and "reboot" in badcmd["error"]
+
+
+def test_source_root_policy(service, rng, tmp_path):
+    import dataclasses as _d
+
+    # paths disabled (the TCP default)
+    service.source_root = ""
+    try:
+        r = handle_request(service, {"id": 1, "source": "x.ply"})
+        assert not r["ok"] and "disabled" in r["error"]
+        # confined: escapes rejected, relative paths resolve under the root
+        service.source_root = str(tmp_path)
+        r = handle_request(service, {"id": 2, "source": "../../etc/passwd"})
+        assert not r["ok"] and "escapes" in r["error"]
+        src, Q, t = _query(service, rng, n=50)
+        with open(tmp_path / "q.txt", "w") as f:
+            f.write(f"{len(src)}\n")
+            for row in src:
+                f.write(f"{row[0]} {row[1]} {row[2]}\n")
+        r = handle_request(service, {"id": 3, "source": "q.txt"})
+        assert r["ok"] and r["converged"]
+        assert np.allclose(np.array(r["R"]), Q, atol=5e-3)
+    finally:
+        service.source_root = None
+
+
+def test_warmup_oversampled_query_shape(service):
+    # n_src > target size: warms the exact requested shape via resampling
+    res = service.warmup(service.tgt.shape[0] + 30)
+    assert res.converged
+
+
 def test_grid_reuse_matches_fresh_solver(service, rng):
     from goicp_tpu.bnb import make_solver
 

@@ -93,6 +93,22 @@ def test_live_snapshotter_live_html(tmp_path):
     assert not live.with_name("live.html.tmp").exists()
 
 
+def test_live_snapshotter_finished_beats_snapshot_cap(tmp_path):
+    """The terminal state must write (and drop live.html's reload tag) even
+    after max_snapshots is reached."""
+    tgt = np.zeros((6, 3), np.float32)
+    src = np.zeros((4, 3), np.float32)
+    bus = ProgressBus()
+    LiveSnapshotter(bus, str(tmp_path / "s"), tgt, src, every_s=0.0,
+                    max_snapshots=2)
+    for r in range(5):
+        bus.publish(_state(r))
+    live = tmp_path / "s" / "live.html"
+    assert 'http-equiv="refresh"' in live.read_text()  # capped mid-solve
+    bus.publish(_state(5, finished=True))
+    assert 'http-equiv="refresh"' not in live.read_text()
+
+
 def test_render_html_replay(tmp_path):
     """The interactive HTML replay (C20: the reference's live window, made
     headless): self-contained file embedding clouds + trajectory."""
