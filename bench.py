@@ -221,6 +221,26 @@ def run_serving(n_queries=8, n_src=1200):
     t0 = time.perf_counter()
     batch = svc.register_batch(queries)
     bwall = time.perf_counter() - t0
+
+    # tracking path (mode=icp with a per-frame prior): local refinement only
+    from goicp_tpu.core.types import RigidTransform
+
+    priors = [
+        RigidTransform(np.asarray(r.transform.R), np.asarray(r.transform.t))
+        for r in batch
+    ]
+    svc.refine(queries[0], priors[0])            # warm tracking path
+    tracks = []
+    for q, pr in zip(queries[:3], priors[:3]):
+        t0 = time.perf_counter()
+        r = svc.refine(q, pr)
+        tracks.append(time.perf_counter() - t0)
+        assert r.converged
+    svc.refine_batch(queries, inits=priors)      # warm batched tracking
+    t0 = time.perf_counter()
+    tb = svc.refine_batch(queries, inits=priors)
+    twall = time.perf_counter() - t0
+
     return {
         "target_points": int(tgt.shape[0]),
         "query_points": n_src,
@@ -229,6 +249,9 @@ def run_serving(n_queries=8, n_src=1200):
         "batch_total_s": round(bwall, 3),
         "batch_per_query_s": round(bwall / n_queries, 3),
         "all_converged": bool(all(r.converged for r in batch)),
+        "tracking_warm_s": round(float(np.median(tracks)), 4),
+        "tracking_batch_per_query_s": round(twall / n_queries, 4),
+        "tracking_all_converged": bool(all(r.converged for r in tb)),
     }
 
 

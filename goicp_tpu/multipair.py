@@ -94,9 +94,11 @@ def register_pairs(
     axis, e.g. ``Mesh(jax.devices(), ("pairs",))``) to shard the pair axis
     across a pod slice — every per-pair array is placed with the leading
     axis partitioned and XLA runs each pair's bounds + refinement on its
-    own devices with no cross-pair communication.  Falls back to the serial
-    per-pair loop for configurations the lockstep driver does not cover
-    (trimming, quaternion cubes, grid bounds for huge targets).
+    own devices with no cross-pair communication.  Trimming rides the
+    lockstep too (per-pair inlier counts; trimmed sums via the bisection
+    kernel).  Falls back to the serial per-pair loop for configurations the
+    lockstep driver does not cover (quaternion cubes, grid bounds for huge
+    targets).
 
     ``solver_grid``: a prebuilt :class:`~goicp_tpu.nn.grid.DistanceGrid` for
     the shared target — only valid when every pair has the SAME target
@@ -106,7 +108,6 @@ def register_pairs(
     lockstep_ok = (
         batched
         and len(pairs) >= 2
-        and p.trim_fraction == 0.0
         and p.rotation_param == "axis_angle"
         and max(t.shape[0] for _, t in pairs) <= p.mxu_max
         and max(s.shape[0] for s, _ in pairs) <= p.bound_points
@@ -127,12 +128,20 @@ _SQRT3 = float(np.sqrt(3.0))
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask):
+def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask, h,
+                     trim: bool):
     """(ub, lb) for ``M`` SE(3) nodes of ONE pair, exact brute-force NN with
     per-point weights (0 = padding).  Per-pair body of the ``vmap`` in
     :func:`_pairs_round`; the bound math matches ``bnb.se3`` (Yang et al.
-    eq. 10 ≙ ``kernComputeBounds``, ``registration.cu:27-60``)."""
+    eq. 10 ≙ ``kernComputeBounds``, ``registration.cu:27-60``).
+
+    ``trim=True``: sums become trimmed sums over the ``h`` smallest
+    per-point terms (``h`` may differ per pair — it is a vmapped scalar);
+    valid exactly as in jly's trimmed bounds (``jly_goicp.cpp:293-315``) —
+    the optimum's inlier set has ≥ the h smallest per-point lower bounds.
+    Padded points carry +inf so they never occupy inlier slots."""
     from goicp_tpu.bnb.device_inner import _exact_min_d2
+    from goicp_tpu.bnb.se3 import _trimmed_sum_bisect
     from goicp_tpu.geo.rotation import rotation_displacement
 
     tile = 256
@@ -149,28 +158,37 @@ def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask):
     d = jnp.sqrt(jnp.maximum(_exact_min_d2(pts, tgt_tiles, tgt_norm_tiles), 0.0))
     gamma_r = rotation_displacement(ang, norms)             # [M,N]
     gamma_t = (_SQRT3 * t_s)[:, None]
-    ub = jnp.sum((d + slack) ** 2 * w[None, :], axis=-1)
-    lb = jnp.sum(
-        jnp.maximum(jnp.maximum(d - slack, 0.0) - gamma_r - gamma_t, 0.0) ** 2
-        * w[None, :],
-        axis=-1,
-    )
+    u = (d + slack) ** 2
+    l = jnp.maximum(
+        jnp.maximum(d - slack, 0.0) - gamma_r - gamma_t, 0.0
+    ) ** 2
+    if trim:
+        pad_inf = jnp.where(w[None, :] > 0, 0.0, jnp.float32(np.inf))
+        ub = _trimmed_sum_bisect(u + pad_inf, h, upper=True)
+        lb = _trimmed_sum_bisect(l + pad_inf, h, upper=False)
+    else:
+        ub = jnp.sum(u * w[None, :], axis=-1)
+        lb = jnp.sum(l * w[None, :], axis=-1)
     inf = jnp.float32(np.inf)
     return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
 
 
-@functools.partial(jax.jit, static_argnames=("refine_k", "icp_params"))
-def _pairs_round(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, *,
-                 refine_k: int, icp_params):
+@functools.partial(
+    jax.jit, static_argnames=("refine_k", "icp_params", "trim")
+)
+def _pairs_round(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h, *,
+                 refine_k: int, icp_params, trim: bool = False):
     """ONE device dispatch advancing every pair: bound evaluation for all
     ``[P, M]`` jobs + top-k batched ICP refinement per pair (the lockstep
-    form of ``bnb.se3.se3_round``)."""
+    form of ``bnb.se3.se3_round``).  ``h [P]``: per-pair inlier counts
+    (trimmed sums when ``trim``)."""
     from goicp_tpu.icp import run_icp
     from goicp_tpu.nn.brute import nearest_neighbor
 
     ub, lb = jax.vmap(
-        _bounds_one_pair, in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0)
-    )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask)
+        functools.partial(_bounds_one_pair, trim=trim),
+        in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0),
+    )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h)
 
     def refine_one(src, w, tgt, ub_p, R_p, t_p):
         _, top = jax.lax.top_k(-ub_p, refine_k)
@@ -212,7 +230,16 @@ def _register_pairs_lockstep(
         wts[b, : s.shape[0]] = 1.0
         tgts[b, : t.shape[0]] = t
     norms = np.linalg.norm(srcs, axis=-1).astype(np.float32)
-    h = np.array([s.shape[0] for s, _ in pairs], np.float64)
+    # inlierNum per pair = n·(1−trim) (≙ jly_goicp.cpp:199-208); trimmed
+    # sums/bounds/refinement all use it, and mse normalizes by it
+    trim = p.trim_fraction > 0.0
+    h = np.array(
+        [
+            max(1, int(round(s.shape[0] * (1.0 - p.trim_fraction))))
+            for s, _ in pairs
+        ],
+        np.float64,
+    )
     sse_thresh = p.mse_threshold * h
 
     # batched MULTI-START initial ICP: every (pair × seed) refines in one
@@ -220,7 +247,8 @@ def _register_pairs_lockstep(
     # identity start of fgoicp.cpp:11-18).  One step usually lands each
     # pair in its global basin, which the BnB then certifies.
     icp_params = IcpParams(
-        max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol, trim_fraction=0.0
+        max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol,
+        trim_fraction=p.trim_fraction,
     )
     K = max(1, min(p.init_multistart, 32))
     srng = np.random.default_rng(12345)
@@ -337,8 +365,8 @@ def _register_pairs_lockstep(
         out = _pairs_round(
             srcs_d, wts_d, norms_d, tgts_d, jnp.float32(0.0),
             place(R_all), place(ang_all), place(t_all),
-            place(ts_all), place(mask_all),
-            refine_k=p.refine_top_k, icp_params=icp_params,
+            place(ts_all), place(mask_all), place(h.astype(np.float32)),
+            refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
         )
         ub, lb, R_ref, t_ref, sse_ref, _ = map(np.asarray, jax.device_get(out))
 

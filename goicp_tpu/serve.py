@@ -243,12 +243,6 @@ class RegistrationService:
         if not sources:
             return []
         p = self._params(overrides)
-        if p.trim_fraction > 0.0:
-            # padded-batch weights and trimming don't compose; serve solo
-            ins = inits or [None] * len(sources)
-            return [
-                self.refine(s, i, **overrides) for s, i in zip(sources, ins)
-            ]
         ip, _ = self._icp_setup(p)
         B = len(sources)
         R0 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
@@ -272,7 +266,8 @@ class RegistrationService:
         iters = np.asarray(iters)
         out = []
         for b, s in enumerate(sources):
-            mse = float(sse[b]) / max(1, s.shape[0])
+            n_eff = max(1, int(round(s.shape[0] * (1.0 - p.trim_fraction))))
+            mse = float(sse[b]) / n_eff
             out.append(GoIcpResult(
                 transform=RigidTransform(Rn[b], tn[b]),
                 sse=float(sse[b]),

@@ -63,6 +63,104 @@ def test_register_pairs_lockstep_single_executable(rng):
         assert res.rounds >= 1 or res.converged
 
 
+def _trimmed_pair(rng, n=90, overlap=60, scale=0.6):
+    """Partial-overlap pair: target = rigidly-moved SUBSET of the source
+    (the remaining source points have no correspondence — the trimmed
+    registration setting, ≙ jly trimming, jly_icp3d.hpp:189-196)."""
+    src = (rng.random((n, 3)).astype(np.float32) - 0.5) * scale
+    R = random_rotation(rng)
+    t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+    idx = rng.choice(n, overlap, replace=False)
+    tgt = (src[idx] @ R.T + t).astype(np.float32)
+    return src, tgt, R, t
+
+
+def test_register_pairs_lockstep_trimmed(rng):
+    """Trimmed pairs now ride the LOCKSTEP driver (previously a serial
+    fallback): batched partial-overlap registration recovers every GT."""
+    from goicp_tpu import multipair as mp
+
+    pairs, gts = [], []
+    for _ in range(3):
+        s, t, R, tv = _trimmed_pair(rng)
+        pairs.append((s, t))
+        gts.append((R, tv))
+
+    calls = []
+    orig = mp._register_pairs_lockstep
+
+    def spy(pairs_, p, mesh=None):
+        calls.append(len(pairs_))
+        return orig(pairs_, p, mesh=mesh)
+
+    mp._register_pairs_lockstep = spy
+    try:
+        results = mp.register_pairs(
+            pairs,
+            BnbParams(
+                mse_threshold=2e-5, trim_fraction=0.4, se3_pop=32,
+                max_rounds=120,
+            ),
+        )
+    finally:
+        mp._register_pairs_lockstep = orig
+    assert calls == [3]          # the trimmed batch took the lockstep path
+    for (s, _), res, (R, tv) in zip(pairs, results, gts):
+        assert res.converged
+        a = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        b = s @ R.T + tv
+        rmse = float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1))))
+        assert rmse < 5e-3, rmse
+
+
+def test_pairs_round_trimmed_bounds_bracket(rng):
+    """Trimmed lockstep bounds are VALID: for random SE(3) cubes,
+    lb ≤ trimmed-SSE(any pose in cube) and ub ≥ trimmed-SSE(center)."""
+    import jax.numpy as jnp
+
+    from goicp_tpu import multipair as mp
+    from goicp_tpu.geo.rotation import axis_angle_rotation
+
+    src, tgt, _, _ = _trimmed_pair(rng, n=50, overlap=35)
+    N, Nt = src.shape[0], tgt.shape[0]
+    h = int(round(N * 0.7))
+    norms = np.linalg.norm(src, axis=1).astype(np.float32)
+
+    def trimmed_sse(R, t):
+        pts = src @ R.T + t
+        d2 = ((pts[:, None, :] - tgt[None]) ** 2).sum(-1).min(1)
+        return float(np.sort(d2)[:h].sum())
+
+    M = 8
+    r_c = (rng.random((M, 3)).astype(np.float32) - 0.5) * 2.0
+    r_s = rng.random(M).astype(np.float32) * 0.4 + 0.05
+    t_c = (rng.random((M, 3)).astype(np.float32) - 0.5) * 0.2
+    t_s = rng.random(M).astype(np.float32) * 0.08 + 0.01
+    R_c = np.stack([
+        np.asarray(axis_angle_rotation(jnp.asarray(r))) for r in r_c
+    ])
+    ang = np.sqrt(3.0) * r_s  # uniform axis-angle cube bound angle
+
+    ub, lb = mp._bounds_one_pair(
+        jnp.asarray(src), jnp.ones(N, jnp.float32), jnp.asarray(norms),
+        jnp.asarray(tgt), jnp.float32(0.0), jnp.asarray(R_c),
+        jnp.asarray(np.minimum(ang, np.pi).astype(np.float32)),
+        jnp.asarray(t_c), jnp.asarray(t_s),
+        jnp.ones(M, bool), jnp.float32(h), trim=True,
+    )
+    ub, lb = np.asarray(ub), np.asarray(lb)
+    for m in range(M):
+        center = trimmed_sse(R_c[m], t_c[m])
+        assert ub[m] >= center - 1e-4, (m, ub[m], center)
+        assert lb[m] <= center + 1e-4
+        for _ in range(6):  # random poses inside the cube
+            rr = r_c[m] + (rng.random(3).astype(np.float32) - 0.5) * 2 * r_s[m]
+            tt = t_c[m] + (rng.random(3).astype(np.float32) - 0.5) * 2 * t_s[m]
+            Rr = np.asarray(axis_angle_rotation(jnp.asarray(rr)))
+            val = trimmed_sse(Rr, tt)
+            assert lb[m] <= val + 1e-4, (m, lb[m], val)
+
+
 def test_register_pairs_global(rng):
     pairs, gts = [], []
     for i in range(2):

@@ -329,3 +329,40 @@ def test_grid_reuse_matches_fresh_solver(service, rng):
 def test_warmup_runs(service):
     res = service.warmup(64)
     assert res.converged
+
+
+def test_serve_main_stdio_honors_toml(tmp_path, monkeypatch, rng):
+    """End-to-end CLI main(): --toml defaults must actually load (regression:
+    Config(args.toml) put the path into cfg.mode and ignored the file)."""
+    import io
+    import sys
+
+    from goicp_tpu import serve as serve_mod
+
+    tgt = (rng.random((100, 3)).astype(np.float32) - 0.5)
+    with open(tmp_path / "tgt.txt", "w") as f:
+        f.write(f"{len(tgt)}\n")
+        for row in tgt:
+            f.write(f"{row[0]} {row[1]} {row[2]}\n")
+    (tmp_path / "cfg.toml").write_text(
+        "[params]\nmode = 4\nmse_threshold = 0.123\nsubsample = 1.0\n"
+        "[tpu]\ngrid_resolution = 16\n"
+    )
+    Q = random_rotation(rng)
+    src = (tgt @ Q).astype(np.float32)
+    lines = [
+        json.dumps({"cmd": "info"}),
+        json.dumps({"id": 9, "points": src.tolist()}),
+    ]
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n".join(lines) + "\n"))
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    rc = serve_mod.main([
+        str(tmp_path / "tgt.txt"), "--toml", str(tmp_path / "cfg.toml"),
+    ])
+    assert rc == 0
+    info, resp = (json.loads(l) for l in out.getvalue().splitlines())
+    # the distinctive TOML values must round-trip into the live service
+    assert info["defaults"]["mse_threshold"] == 0.123
+    assert info["grid_resolution"] == 16
+    assert resp["ok"] and resp["id"] == 9 and resp["converged"]
