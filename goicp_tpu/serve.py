@@ -57,6 +57,7 @@ from goicp_tpu.nn.grid import build_distance_grid
 
 _QUERY_KEYS = (
     "source", "points", "subsample", "seed", "resize", "id", "init", "mode",
+    "target",
 )
 # per-query BnbParams overrides accepted over the wire (whitelist: the
 # solve-semantics knobs a client may tune; device/engine topology stays
@@ -111,6 +112,14 @@ class RegistrationService:
             "service '%s': target %d pts resident, %d³ field built in %.2fs",
             name, self.tgt.shape[0], int(self.grid.values.shape[0]),
             time.perf_counter() - t0,
+        )
+
+    def resolve(self, name: Optional[str] = None) -> "RegistrationService":
+        """Single-target service: accepts only its own name (or none)."""
+        if name is None or name == self.name:
+            return self
+        raise ValueError(
+            f"unknown target {name!r}; this server serves only {self.name!r}"
         )
 
     def _params(self, overrides: Optional[dict] = None) -> BnbParams:
@@ -320,6 +329,51 @@ class RegistrationService:
         }
 
 
+class MultiTargetService:
+    """A model zoo: several resident targets behind one protocol endpoint.
+
+    Queries pick a map with ``"target": "<name>"`` (default: the first).
+    Each named target is a full :class:`RegistrationService` (own distance
+    field, own jit-warm state); the device lock inside each service keeps
+    solves serialized across targets too (same chip).
+    """
+
+    def __init__(self, services: dict, default: Optional[str] = None):
+        if not services:
+            raise ValueError("need at least one target service")
+        self.services = dict(services)
+        self.default = default or next(iter(self.services))
+        if self.default not in self.services:
+            raise ValueError(f"default target {self.default!r} not served")
+
+    @property
+    def source_root(self):
+        return self.services[self.default].source_root
+
+    def resolve(self, name: Optional[str] = None) -> RegistrationService:
+        key = name if name is not None else self.default
+        svc = self.services.get(key)
+        if svc is None:
+            raise ValueError(
+                f"unknown target {key!r}; serving {sorted(self.services)}"
+            )
+        return svc
+
+    def info(self) -> dict:
+        return {
+            "ok": True,
+            "default": self.default,
+            "targets": {
+                k: {
+                    "target_points": int(v.tgt.shape[0]),
+                    "grid_resolution": int(v.grid.values.shape[0]),
+                    "queries_served": v.queries,
+                }
+                for k, v in self.services.items()
+            },
+        }
+
+
 # ---------------------------------------------------------------------------
 # wire protocol
 # ---------------------------------------------------------------------------
@@ -432,50 +486,55 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
             # BnB; goicp-with-init answers solo (the lockstep driver has no
             # per-pair seed plumbing).
             out: list = [None] * len(subs)
-            lanes = {"icp": [], "goicp": [], "solo": []}
+            # lanes are (kind, target-service): a lockstep lane shares one
+            # dispatch, so it must share a target too
+            lanes: dict = {}
             parsed = {}
             for i, sub in enumerate(subs):
                 try:
                     _validate_keys(sub)
-                    src = _load_query_source(sub, service.source_root)
+                    svc = service.resolve(sub.get("target"))
+                    src = _load_query_source(sub, svc.source_root)
                     init = _parse_init(sub)
                     m = _mode(sub)
                     iov = {**ov, **_overrides(sub)}
-                    parsed[i] = (src, init, m, iov)
+                    parsed[i] = (svc, src, init, m, iov)
                     if _overrides(sub) or (m == "goicp" and init is not None):
-                        lanes["solo"].append(i)
-                    elif m == "icp":
-                        lanes["icp"].append(i)
+                        kind = "solo"
                     else:
-                        lanes["goicp"].append(i)
+                        kind = m
+                    lanes.setdefault((kind, id(svc)), []).append(i)
                 except Exception as e:  # per-item isolation
                     out[i] = _error_json(sub, e)
-            if lanes["icp"]:
-                results = service.refine_batch(
-                    [parsed[i][0] for i in lanes["icp"]],
-                    inits=[parsed[i][1] for i in lanes["icp"]],
-                    **ov,
-                )
-                for i, res in zip(lanes["icp"], results):
+            for (kind, _), idxs in lanes.items():
+                svc = parsed[idxs[0]][0]
+                if kind == "icp":
+                    results = svc.refine_batch(
+                        [parsed[i][1] for i in idxs],
+                        inits=[parsed[i][2] for i in idxs],
+                        **ov,
+                    )
+                elif kind == "goicp":
+                    results = svc.register_batch(
+                        [parsed[i][1] for i in idxs], **ov
+                    )
+                else:
+                    results = []
+                    for i in idxs:
+                        svc_i, src, init, m, iov = parsed[i]
+                        fn = svc_i.refine if m == "icp" else svc_i.register
+                        results.append(fn(src, init, **iov))
+                for i, res in zip(idxs, results):
                     out[i] = _result_json(subs[i], res)
-            if lanes["goicp"]:
-                results = service.register_batch(
-                    [parsed[i][0] for i in lanes["goicp"]], **ov
-                )
-                for i, res in zip(lanes["goicp"], results):
-                    out[i] = _result_json(subs[i], res)
-            for i in lanes["solo"]:
-                src, init, m, iov = parsed[i]
-                fn = service.refine if m == "icp" else service.register
-                out[i] = _result_json(subs[i], fn(src, init, **iov))
             return out
         _validate_keys(req)
-        src = _load_query_source(req, service.source_root)
+        svc = service.resolve(req.get("target"))
+        src = _load_query_source(req, svc.source_root)
         init = _parse_init(req)
         if _mode(req) == "icp":
-            res = service.refine(src, init, **_overrides(req))
+            res = svc.refine(src, init, **_overrides(req))
         else:
-            res = service.register(src, init, **_overrides(req))
+            res = svc.register(src, init, **_overrides(req))
         return _result_json(req, res)
     except Exception as e:
         return _error_json(req, e)
@@ -575,8 +634,10 @@ class Batcher(threading.Thread):
     def _serve_group(self, group: List[_Pending]):
         # anything that can't join a uniform lane answers solo; icp-mode
         # queries share one vmapped refine, init-free goicp queries share
-        # one lockstep BnB (goicp-with-init has no lockstep seed plumbing)
-        solo, goicp, g_srcs, icp, i_srcs, i_inits = [], [], [], [], [], []
+        # one lockstep BnB (goicp-with-init has no lockstep seed plumbing).
+        # Lanes are per (kind, target): one dispatch = one target.
+        solo: List[_Pending] = []
+        lanes: dict = {}   # (kind, id(svc)) -> [(pending, svc, src, init)]
         for p in group:
             req = p.req
             if (
@@ -589,39 +650,37 @@ class Batcher(threading.Thread):
                 continue
             try:
                 _validate_keys(req)
-                src = _load_query_source(req, self.service.source_root)
+                svc = self.service.resolve(req.get("target"))
+                src = _load_query_source(req, svc.source_root)
                 init = _parse_init(req)
-                if _mode(req) == "icp":
-                    icp.append(p)
-                    i_srcs.append(src)
-                    i_inits.append(init)
-                elif init is None:
-                    goicp.append(p)
-                    g_srcs.append(src)
-                else:
+                m = _mode(req)
+                if m == "goicp" and init is not None:
                     solo.append(p)
+                    continue
+                lanes.setdefault((m, id(svc)), []).append((p, svc, src, init))
             except Exception as e:
                 p.resp = _error_json(req, e)
                 p.event.set()
         for p in solo:
             p.resp = handle_request(self.service, p.req)
             p.event.set()
-        for lane, srcs, run in (
-            (goicp, g_srcs, lambda s: self.service.register_batch(s)),
-            (icp, i_srcs,
-             lambda s: self.service.refine_batch(s, inits=i_inits)),
-        ):
-            if not lane:
-                continue
-            self.batches.append(len(lane))
+        for (kind, _), items in lanes.items():
+            svc = items[0][1]
+            srcs = [it[2] for it in items]
+            self.batches.append(len(items))
             try:
-                results = run(srcs)
-                for p, res in zip(lane, results):
+                if kind == "icp":
+                    results = svc.refine_batch(
+                        srcs, inits=[it[3] for it in items]
+                    )
+                else:
+                    results = svc.register_batch(srcs)
+                for (p, _, _, _), res in zip(items, results):
                     p.resp = _result_json(p.req, res)
             except Exception as e:
-                for p in lane:
+                for p, _, _, _ in items:
                     p.resp = _error_json(p.req, e)
-            for p in lane:
+            for p, _, _, _ in items:
                 p.event.set()
 
 
@@ -645,8 +704,21 @@ def serve_tcp(
     log = get_logger()
 
     class Handler(socketserver.StreamRequestHandler):
+        MAX_LINE = 256 << 20   # 256 MB per request line (~2M inline points)
+
         def handle(self):
-            for raw in self.rfile:
+            while True:
+                raw = self.rfile.readline(self.MAX_LINE + 1)
+                if not raw:
+                    break
+                if len(raw) > self.MAX_LINE:
+                    # drain the oversized line, then refuse it
+                    while raw and not raw.endswith(b"\n"):
+                        raw = self.rfile.readline(self.MAX_LINE)
+                    self._send(_error_json(
+                        None, ValueError("request line exceeds 256 MB")
+                    ))
+                    continue
                 try:
                     req = json.loads(raw.decode())
                 except Exception as e:
@@ -704,7 +776,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         description="Target-resident Go-ICP registration service "
                     "(JSON-lines over stdio or TCP).",
     )
-    ap.add_argument("target", help="resident target cloud (.ply/.txt)")
+    ap.add_argument("target", nargs="+",
+                    help="resident target cloud(s) (.ply/.txt); several "
+                         "paths serve a model zoo — queries pick one with "
+                         "'target': '<basename>' (default: the first)")
     ap.add_argument("--toml", default=None,
                     help="scenario TOML providing solver defaults "
                          "([params] + [tpu] sections)")
@@ -743,15 +818,27 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         resize = args.resize if args.resize is not None else 1.0
         subsample = args.subsample if args.subsample is not None else 1.0
 
-    tgt = load_cloud(args.target, subsample=subsample, resize=resize)
+    import os
+
     source_root = args.source_root
     if source_root is None and args.port is not None:
         source_root = ""   # network exposure: filesystem queries opt-in only
-    service = RegistrationService(
-        tgt, params, name=args.target, source_root=source_root
+    services = {}
+    for path in args.target:
+        name = os.path.splitext(os.path.basename(path))[0]
+        if name in services:
+            name = path                      # disambiguate duplicates
+        tgt = load_cloud(path, subsample=subsample, resize=resize)
+        services[name] = RegistrationService(
+            tgt, params, name=name, source_root=source_root
+        )
+        if args.warmup:
+            services[name].warmup(args.warmup)
+    service = (
+        next(iter(services.values()))
+        if len(services) == 1
+        else MultiTargetService(services)
     )
-    if args.warmup:
-        service.warmup(args.warmup)
 
     if args.port is None:
         serve_stdio(service, sys.stdin, sys.stdout)

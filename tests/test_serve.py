@@ -326,6 +326,49 @@ def test_grid_reuse_matches_fresh_solver(service, rng):
     )
 
 
+def test_multi_target_service(service, rng):
+    """Model zoo: queries pick a resident target by name; lanes group per
+    target; unknown names are rejected."""
+    from goicp_tpu.serve import MultiTargetService, RegistrationService
+
+    tgt_b = (rng.random((110, 3)).astype(np.float32) - 0.5) * 0.8 + 2.0
+    svc_b = RegistrationService(tgt_b, PARAMS, name="b")
+    zoo = MultiTargetService({"a": service, "b": svc_b})
+
+    # a query cut from target b must be solved against b, not the default a
+    Q = random_rotation(rng)
+    t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+    idx = rng.choice(110, 80, replace=False)
+    src_b = ((tgt_b[idx] - t) @ Q).astype(np.float32)
+    r = handle_request(
+        zoo, {"id": 1, "points": src_b.tolist(), "target": "b"}
+    )
+    assert r["ok"] and r["converged"]
+    assert np.allclose(np.array(r["R"]), Q, atol=5e-3)
+
+    bad = handle_request(zoo, {"points": src_b.tolist(), "target": "zzz"})
+    assert not bad["ok"] and "zzz" in bad["error"]
+
+    info = handle_request(zoo, {"cmd": "info"})
+    assert set(info["targets"]) == {"a", "b"} and info["default"] == "a"
+
+    # mixed-target batch: each lane solves against its own target
+    src_a, Qa, ta = _query(service, rng, n=70)
+    resp = handle_request(zoo, {"batch": [
+        {"id": 0, "points": src_a.tolist(), "target": "a"},
+        {"id": 1, "points": src_b.tolist(), "target": "b"},
+    ]})
+    assert all(x["ok"] and x["converged"] for x in resp), resp
+    assert np.allclose(np.array(resp[0]["R"]), Qa, atol=5e-3)
+    assert np.allclose(np.array(resp[1]["R"]), Q, atol=5e-3)
+
+    # single-target services reject foreign target names
+    solo = handle_request(
+        service, {"points": src_a.tolist(), "target": "other"}
+    )
+    assert not solo["ok"] and "other" in solo["error"]
+
+
 def test_warmup_runs(service):
     res = service.warmup(64)
     assert res.converged
