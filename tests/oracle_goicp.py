@@ -39,16 +39,22 @@ def _sse(src, tgt, R, t):
     return float((_nn_d(src @ R.T + t, tgt) ** 2).sum())
 
 
-def oracle_min_sse(src, tgt, trans_span=0.5, mse_threshold=1e-5, max_nodes=200000):
+def oracle_min_sse(src, tgt, trans_span=0.5, mse_threshold=1e-5, max_nodes=200000,
+                   trim_fraction=0.0):
     """ε-optimal min SSE over SO(3)×[-s,s]³ by exhaustive nested BnB.
 
     Returns ``(best_sse, best_R, best_t)`` with ``best_sse`` within
-    ``mse_threshold·N`` of the global optimum (exact-NN bounds, no grid)."""
+    ``mse_threshold·h`` of the global optimum (exact-NN bounds, no grid).
+    ``trim_fraction > 0``: the objective is the trimmed SSE over the
+    ``h = N·(1−trim)`` closest points (≙ jly trimming: ub = h smallest d²
+    at the center; lb = h smallest per-point lower bounds — the optimum's
+    inlier set dominates both)."""
     src = np.asarray(src, np.float64)
     tgt = np.asarray(tgt, np.float64)
     N = src.shape[0]
+    h = max(1, int(round(N * (1.0 - trim_fraction))))
     norms = np.linalg.norm(src, axis=1)
-    thresh = mse_threshold * N
+    thresh = mse_threshold * h
 
     best = np.inf
     best_pose = (np.eye(3), np.zeros(3))
@@ -64,13 +70,15 @@ def oracle_min_sse(src, tgt, trans_span=0.5, mse_threshold=1e-5, max_nodes=20000
         nodes += 1
         R = _rot(r_c)
         d = _nn_d(src @ R.T + t_c, tgt)
-        ub = float((d * d).sum())
+        ub = float(np.sort(d * d)[:h].sum())
         if ub < best:
             best = ub
             best_pose = (R, t_c.copy())
         g_r = 2.0 * np.sin(min(_SQRT3 * r_s, math.pi) / 2.0) * norms
         g_t = _SQRT3 * t_s
-        node_lb = float((np.maximum(d - g_r - g_t, 0.0) ** 2).sum())
+        node_lb = float(
+            np.sort(np.maximum(d - g_r - g_t, 0.0) ** 2)[:h].sum()
+        )
         if node_lb >= best - thresh:
             continue
         # split the larger uncertainty dimension

@@ -44,6 +44,53 @@ def test_optimality_smoke_vs_oracle():
     assert got <= o_sse + 2 * eps, (got, o_sse)
 
 
+def test_trimmed_lockstep_optimality_vs_oracle():
+    """Trimmed LOCKSTEP multipair vs the trimmed numpy oracle: the batched
+    driver's pose must reach the oracle's ε-optimal trimmed SSE on both
+    pairs (never-prune-the-optimum, trimmed semantics)."""
+    from goicp_tpu.multipair import register_pairs
+
+    rng = np.random.default_rng(11)
+    trim = 0.3
+    mse = 2e-4
+    pairs, oracles = [], []
+    for _ in range(2):
+        src = (rng.random((16, 3)).astype(np.float32) - 0.5) * 0.6
+        R_true = random_rotation(rng)
+        t_true = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+        keep = rng.choice(16, 11, replace=False)   # h = 11 = 16·(1−0.3)
+        tgt = ((src[keep] @ R_true.T) + t_true).astype(np.float32)
+        pairs.append((src, tgt))
+        o_sse, _, _ = oracle_min_sse(
+            src, tgt, trans_span=0.5, mse_threshold=mse, trim_fraction=trim
+        )
+        oracles.append(o_sse)
+
+    results = register_pairs(
+        pairs,
+        BnbParams(
+            mse_threshold=mse, trim_fraction=trim, trans_span=0.5,
+            se3_pop=48, max_rounds=1500, max_wall_s=240.0,
+            init_multistart=4,
+        ),
+    )
+    for (src, tgt), res, o_sse in zip(pairs, results, oracles):
+        moved = (
+            np.asarray(src, np.float64)
+            @ np.asarray(res.transform.R, np.float64).T
+            + np.asarray(res.transform.t, np.float64)
+        )
+        d2 = (
+            ((moved[:, None, :] - np.asarray(tgt, np.float64)[None]) ** 2)
+            .sum(-1)
+            .min(1)
+        )
+        h = int(round(src.shape[0] * (1.0 - trim)))
+        got = float(np.sort(d2)[:h].sum())
+        eps = mse * h
+        assert got <= o_sse + 2 * eps, (got, o_sse)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 7])
 def test_solver_matches_oracle_min_sse(seed):
