@@ -18,7 +18,6 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
 import socket
-import sys
 
 import numpy as np
 

@@ -345,6 +345,7 @@ class MultiTargetService:
         self.default = default or next(iter(self.services))
         if self.default not in self.services:
             raise ValueError(f"default target {self.default!r} not served")
+        self.name = f"zoo({', '.join(sorted(self.services))})"
 
     @property
     def source_root(self):
@@ -360,10 +361,13 @@ class MultiTargetService:
         return svc
 
     def info(self) -> dict:
-        return {
-            "ok": True,
-            "default": self.default,
-            "targets": {
+        # superset of the single-target response shape: clients reading
+        # service/devices/defaults keep working when a second target appears
+        base = self.services[self.default].info()
+        base.update(
+            service=self.name,
+            default=self.default,
+            targets={
                 k: {
                     "target_points": int(v.tgt.shape[0]),
                     "grid_resolution": int(v.grid.values.shape[0]),
@@ -371,7 +375,8 @@ class MultiTargetService:
                 }
                 for k, v in self.services.items()
             },
-        }
+        )
+        return base
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +480,11 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
         if "cmd" in req:
             raise ValueError(f"unknown cmd {req['cmd']!r}")
         if "batch" in req:
+            unknown = set(req) - {"batch", "id"} - set(_PARAM_KEYS)
+            if unknown:
+                raise ValueError(
+                    f"unknown batch-envelope key(s): {sorted(unknown)}"
+                )
             subs = req["batch"]
             ov = _overrides(req)
             # Batch-level overrides apply to every item; a per-item override
@@ -704,14 +714,14 @@ def serve_tcp(
     log = get_logger()
 
     class Handler(socketserver.StreamRequestHandler):
-        MAX_LINE = 256 << 20   # 256 MB per request line (~2M inline points)
+        MAX_LINE = 256 << 20   # 256 MB payload per request line (excl. \r\n)
 
         def handle(self):
             while True:
-                raw = self.rfile.readline(self.MAX_LINE + 1)
+                raw = self.rfile.readline(self.MAX_LINE + 3)
                 if not raw:
                     break
-                if len(raw) > self.MAX_LINE:
+                if len(raw.rstrip(b"\r\n")) > self.MAX_LINE:
                     # drain the oversized line, then refuse it
                     while raw and not raw.endswith(b"\n"):
                         raw = self.rfile.readline(self.MAX_LINE)
@@ -827,6 +837,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     for path in args.target:
         name = os.path.splitext(os.path.basename(path))[0]
         if name in services:
+            get_logger().warning(
+                "duplicate target basename %r: %s is addressable as "
+                "'target': %r (full path), not by basename", name, path, path,
+            )
             name = path                      # disambiguate duplicates
         tgt = load_cloud(path, subsample=subsample, resize=resize)
         services[name] = RegistrationService(

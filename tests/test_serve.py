@@ -369,6 +369,56 @@ def test_multi_target_service(service, rng):
     assert not solo["ok"] and "other" in solo["error"]
 
 
+def test_multi_target_tcp(service, rng):
+    """Regression: serve_tcp must start with a MultiTargetService (it reads
+    service.name) and route per-target queries over the wire."""
+    from goicp_tpu.serve import MultiTargetService, RegistrationService
+
+    tgt_c = (rng.random((90, 3)).astype(np.float32) - 0.5) * 0.5 - 1.5
+    zoo = MultiTargetService(
+        {"a": service, "c": RegistrationService(tgt_c, PARAMS, name="c")}
+    )
+    ready = threading.Event()
+    bound: list = []
+    srv = threading.Thread(
+        target=serve_tcp,
+        kwargs=dict(service=zoo, port=0, window_s=0.01, ready=ready,
+                    bound=bound),
+        daemon=True,
+    )
+    srv.start()
+    assert ready.wait(10), "multi-target TCP server failed to start"
+
+    Q = random_rotation(rng)
+    t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+    idx = rng.choice(90, 70, replace=False)
+    src_c = ((tgt_c[idx] - t) @ Q).astype(np.float32)
+    with socket.create_connection(("127.0.0.1", bound[0]), timeout=60) as s:
+        f = s.makefile("rw")
+        f.write(json.dumps(
+            {"id": 1, "points": src_c.tolist(), "target": "c"}) + "\n")
+        f.flush()
+        r = json.loads(f.readline())
+        assert r["ok"] and r["converged"], r
+        assert np.allclose(np.array(r["R"]), Q, atol=5e-3)
+        info = json.loads((f.write(json.dumps({"cmd": "info"}) + "\n"),
+                           f.flush(), f.readline())[-1])
+        assert set(info["targets"]) == {"a", "c"}
+        assert "defaults" in info  # single-target response shape preserved
+        f.write(json.dumps({"cmd": "shutdown"}) + "\n")
+        f.flush()
+        assert json.loads(f.readline())["shutdown"] is True
+    srv.join(timeout=10)
+
+
+def test_batch_envelope_unknown_keys_rejected(service, rng):
+    src, _, _ = _query(service, rng, n=50)
+    r = handle_request(service, {
+        "batch": [{"points": src.tolist()}], "mse_treshold": 1e-6,
+    })
+    assert isinstance(r, dict) and not r["ok"] and "mse_treshold" in r["error"]
+
+
 def test_warmup_runs(service):
     res = service.warmup(64)
     assert res.converged
