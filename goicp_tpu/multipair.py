@@ -108,7 +108,6 @@ def register_pairs(
     lockstep_ok = (
         batched
         and len(pairs) >= 2
-        and p.rotation_param == "axis_angle"
         and max(t.shape[0] for _, t in pairs) <= p.mxu_max
         and max(s.shape[0] for s, _ in pairs) <= p.bound_points
     )
@@ -216,7 +215,7 @@ def _register_pairs_lockstep(
     import time
 
     from goicp_tpu.bnb.frontier import make_frontier
-    from goicp_tpu.bnb.solver import _OCTANTS, AxisAngleParam
+    from goicp_tpu.bnb.solver import _OCTANTS, _PARAMS
 
     t_start = time.perf_counter()
     P = len(pairs)
@@ -278,15 +277,16 @@ def _register_pairs_lockstep(
     best_t = np.array(T0.t).reshape(P, K, 3)[np.arange(P), jbest]
     best_sse = sse0[np.arange(P), jbest].copy()
 
-    rotparam = AxisAngleParam
+    rotparam = _PARAMS[p.rotation_param]   # axis-angle (jly) or quat cube
     root_rspan = rotparam.root_span
     mean_norm = np.array(
         [np.linalg.norm(s, axis=1).mean() for s, _ in pairs]
     )
 
     def classify(b, pay):
-        r_s, t_s = pay[:, 3], pay[:, 7]
-        g_rot = 2.0 * np.sin(np.minimum(_SQRT3 * r_s, np.pi) / 2.0) * mean_norm[b]
+        ang = rotparam.max_angle(pay[:, 0:3], pay[:, 3])
+        t_s = pay[:, 7]
+        g_rot = 2.0 * np.sin(np.minimum(ang, np.pi) / 2.0) * mean_norm[b]
         g_tr = _SQRT3 * t_s
         return g_rot >= g_tr                      # split rotation else trans
 

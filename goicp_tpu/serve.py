@@ -245,15 +245,25 @@ class RegistrationService:
         inits: Optional[Sequence[Optional[RigidTransform]]] = None,
         **overrides,
     ) -> List[GoIcpResult]:
-        """Batched tracking: every query refines in ONE vmapped dispatch
-        (``multipair.icp_pairs`` against the shared resident target)."""
-        from goicp_tpu.multipair import icp_pairs
+        """Batched tracking: every query refines in ONE batched dispatch
+        against the SHARED resident correspondence (exact NN, or the
+        resident O(1) grid for large targets) — the target is neither
+        re-uploaded nor tiled per query."""
+        import jax.numpy as jnp
+
+        from goicp_tpu.icp import run_icp
 
         if not sources:
             return []
         p = self._params(overrides)
-        ip, _ = self._icp_setup(p)
+        ip, corr = self._icp_setup(p)
         B = len(sources)
+        N = max(s.shape[0] for s in sources)
+        srcs = np.zeros((B, N, 3), np.float32)
+        w = np.zeros((B, N), np.float32)
+        for b, s in enumerate(sources):
+            srcs[b, : s.shape[0]] = s
+            w[b, : s.shape[0]] = 1.0
         R0 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
         t0v = np.zeros((B, 3), np.float32)
         for b, T in enumerate(inits or []):
@@ -263,11 +273,12 @@ class RegistrationService:
         t_start = time.perf_counter()
         with self._lock:
             self.queries += B
-            T, sse, iters = icp_pairs(
-                [(s, self.tgt) for s in sources],
-                inits=RigidTransform(R0, t0v),
-                params=ip,
+            res = run_icp(
+                jnp.asarray(srcs), corr,
+                RigidTransform(jnp.asarray(R0), jnp.asarray(t0v)), ip,
+                point_weights=jnp.asarray(w),
             )
+            T, sse, iters = res.transform, res.sse, res.iters
         wall = time.perf_counter() - t_start
         Rn = np.asarray(T.R)
         tn = np.asarray(T.t)

@@ -161,6 +161,45 @@ def test_pairs_round_trimmed_bounds_bracket(rng):
             assert lb[m] <= val + 1e-4, (m, lb[m], val)
 
 
+def test_register_pairs_lockstep_quaternion(rng):
+    """Quaternion-cube pairs (fgoicp's parametrization, common.h:40-60)
+    ride the lockstep driver too and recover every GT pose."""
+    from goicp_tpu import multipair as mp
+
+    pairs, gts = [], []
+    for _ in range(2):
+        src = (rng.random((100, 3)).astype(np.float32) - 0.5) * 0.6
+        R = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+        pairs.append((src, (src @ R.T + t).astype(np.float32)))
+        gts.append((R, t))
+
+    calls = []
+    orig = mp._register_pairs_lockstep
+
+    def spy(pairs_, p, mesh=None):
+        calls.append(len(pairs_))
+        return orig(pairs_, p, mesh=mesh)
+
+    mp._register_pairs_lockstep = spy
+    try:
+        results = mp.register_pairs(
+            pairs,
+            BnbParams(
+                mse_threshold=1e-4, rotation_param="quaternion",
+                se3_pop=32, max_rounds=120,
+            ),
+        )
+    finally:
+        mp._register_pairs_lockstep = orig
+    assert calls == [2]
+    for (s, t), res, (R, tv) in zip(pairs, results, gts):
+        assert res.converged
+        a = s @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        b = s @ R.T + tv
+        assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1)))) < 5e-3
+
+
 def test_register_pairs_global(rng):
     pairs, gts = [], []
     for i in range(2):

@@ -217,6 +217,37 @@ def test_refine_batch_matches_singles(service, rng):
         )
 
 
+def test_refine_batch_grid_path_and_padding(rng):
+    """Batched tracking through the resident GRID correspondence (large-
+    target path) with mixed source sizes (padding weights)."""
+    import dataclasses
+
+    from goicp_tpu.core.types import RigidTransform
+    from goicp_tpu.serve import RegistrationService
+
+    tgt = (np.random.default_rng(21).random((140, 3)).astype(np.float32)
+           - 0.5)
+    # force the grid correspondence (as if the target were huge) and use a
+    # fine grid so the index lookups resolve the true neighbors
+    params = dataclasses.replace(PARAMS, icp_exact_max=10,
+                                 grid_resolution=64)
+    svc = RegistrationService(tgt, params, name="grid-track")
+    queries, inits = [], []
+    for n in (60, 90):
+        Q = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.1
+        idx = rng.choice(140, n, replace=False)
+        queries.append(((tgt[idx] - t) @ Q).astype(np.float32))
+        inits.append(RigidTransform(Q, t))   # perfect prior: must converge
+    out = svc.refine_batch(queries, inits=inits)
+    assert len(out) == 2
+    for res, q, T in zip(out, queries, inits):
+        assert res.converged, (res.mse,)
+        a = q @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        b = q @ np.asarray(T.R).T + np.asarray(T.t)
+        assert float(np.abs(a - b).max()) < 1e-2
+
+
 def test_wire_init_and_mode(service, rng):
     src, Q, t = _query(service, rng, n=70)
     req = {
