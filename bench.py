@@ -184,6 +184,48 @@ def run_multipair(n_pairs=4):
     }
 
 
+def run_multipair_trimmed(n_pairs=4, n_src=1000, overlap=650):
+    """Partial-overlap lockstep: trimmed pairs (the robust serving case)
+    advance through the same one-dispatch-per-round driver."""
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.io import load_cloud
+    from goicp_tpu.multipair import register_pairs
+
+    base = os.path.join(_HERE, "data", "bunny")
+    tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.05,
+                     seed=0)
+    rng = np.random.default_rng(9)
+    pairs, gts = [], []
+    for _ in range(n_pairs):
+        A = rng.normal(size=(3, 3))
+        Q, Ru = np.linalg.qr(A)
+        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+        src = tgt[rng.choice(tgt.shape[0], n_src, replace=False)]
+        keep = rng.choice(n_src, overlap, replace=False)
+        pairs.append((src, (src[keep] @ Q.T + t).astype(np.float32)))
+        gts.append(Q)
+    p = BnbParams(mse_threshold=2e-5, trim_fraction=0.4, max_rounds=600)
+    register_pairs(pairs, p)                 # warmup
+    t0 = time.perf_counter()
+    res = register_pairs(pairs, p)
+    wall = time.perf_counter() - t0
+    return {
+        "pairs": n_pairs,
+        "trim_fraction": 0.4,
+        "overlap": overlap / n_src,
+        "total_wall_s": round(wall, 3),
+        "wall_per_pair_s": round(wall / n_pairs, 3),
+        "all_converged": bool(all(r.converged for r in res)),
+        "worst_R_err": max(
+            float(np.abs(np.asarray(r.transform.R) - Q).max())
+            for r, Q in zip(res, gts)
+        ),
+    }
+
+
 def run_serving(n_queries=8, n_src=1200):
     """Warm serving latency against a resident bunny target: median single-
     query wall + per-query wall of one micro-batched lockstep dispatch
@@ -303,6 +345,12 @@ def main():
         multipair = {"error": f"{type(e).__name__}: {e}"}
 
     try:
+        multipair_trimmed = run_multipair_trimmed()
+    except Exception as e:
+        traceback.print_exc()
+        multipair_trimmed = {"error": f"{type(e).__name__}: {e}"}
+
+    try:
         serving = run_serving()
     except Exception as e:
         traceback.print_exc()
@@ -345,6 +393,7 @@ def main():
             "scenarios": scen,
             "headline_with_reference_invalid_radius": refbug,
             "multipair_lockstep": multipair,
+            "multipair_trimmed_lockstep": multipair_trimmed,
             "serving": serving,
             "multihost_scaling": _multihost_scaling_summary(),
         },
