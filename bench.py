@@ -149,6 +149,7 @@ def run_multipair(n_pairs=4):
     from goicp_tpu.bnb import BnbParams
     from goicp_tpu.io import load_cloud
     from goicp_tpu.multipair import register_pairs
+    from goicp_tpu.geo.rotation import random_rotations
 
     base = os.path.join(_HERE, "data", "bunny")
     src = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.05,
@@ -156,11 +157,7 @@ def run_multipair(n_pairs=4):
     rng = np.random.default_rng(4)
     pairs, gts = [], []
     for k in range(n_pairs):
-        A = rng.normal(size=(3, 3))
-        Q, Ru = np.linalg.qr(A)
-        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
-        if np.linalg.det(Q) < 0:
-            Q[:, 0] *= -1
+        Q = random_rotations(1, rng)[0]
         t = (rng.random(3).astype(np.float32) - 0.5) * 0.4
         pairs.append((src, (src @ Q.T + t).astype(np.float32)))
         gts.append((Q, t))
@@ -190,6 +187,7 @@ def run_multipair_trimmed(n_pairs=4, n_src=1000, overlap=650):
     from goicp_tpu.bnb import BnbParams
     from goicp_tpu.io import load_cloud
     from goicp_tpu.multipair import register_pairs
+    from goicp_tpu.geo.rotation import random_rotations
 
     base = os.path.join(_HERE, "data", "bunny")
     tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.05,
@@ -197,11 +195,7 @@ def run_multipair_trimmed(n_pairs=4, n_src=1000, overlap=650):
     rng = np.random.default_rng(9)
     pairs, gts = [], []
     for _ in range(n_pairs):
-        A = rng.normal(size=(3, 3))
-        Q, Ru = np.linalg.qr(A)
-        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
-        if np.linalg.det(Q) < 0:
-            Q[:, 0] *= -1
+        Q = random_rotations(1, rng)[0]
         t = (rng.random(3).astype(np.float32) - 0.5) * 0.3
         src = tgt[rng.choice(tgt.shape[0], n_src, replace=False)]
         keep = rng.choice(n_src, overlap, replace=False)
@@ -233,6 +227,7 @@ def run_serving(n_queries=8, n_src=1200):
     from goicp_tpu.bnb import BnbParams
     from goicp_tpu.io import load_cloud
     from goicp_tpu.serve import RegistrationService
+    from goicp_tpu.geo.rotation import random_rotations
 
     base = os.path.join(_HERE, "data", "bunny")
     tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.05,
@@ -243,11 +238,7 @@ def run_serving(n_queries=8, n_src=1200):
     rng = np.random.default_rng(11)
     queries = []
     for _ in range(n_queries):
-        A = rng.normal(size=(3, 3))
-        Q, Ru = np.linalg.qr(A)
-        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
-        if np.linalg.det(Q) < 0:
-            Q[:, 0] *= -1
+        Q = random_rotations(1, rng)[0]
         t = (rng.random(3).astype(np.float32) - 0.5) * 0.3
         idx = rng.choice(tgt.shape[0], n_src, replace=False)
         queries.append(((tgt[idx] - t) @ Q).astype(np.float32))

@@ -45,10 +45,15 @@ from goicp_tpu.nn.grid import (
 
 _SQRT3 = math.sqrt(3.0)
 _PREC = jax.lax.Precision.HIGHEST
-_INF = jnp.float32(np.inf)
+# numpy, not jnp: a module-level jnp constant created while this module
+# is first imported INSIDE a jit trace (function-level imports in
+# multipair._bounds_one_pair) would be a leaked tracer that corrupts
+# later compilations (measured: 'Execution supplied 9 buffers but
+# compiled program expected 12')
+_INF = np.float32(np.inf)
 
 # {-1,+1}^3 octant offsets (≙ fgoicp.cpp:160-173 child spawning)
-_OCT = jnp.asarray(
+_OCT = (
     np.array([[(j >> a) & 1 for a in range(3)] for j in range(8)], np.float32)
     * 2.0
     - 1.0

@@ -49,7 +49,7 @@ from goicp_tpu.geo.rotation import rotation_displacement
 
 _SQRT3 = math.sqrt(3.0)
 _PREC = jax.lax.Precision.HIGHEST
-_INF = jnp.float32(np.inf)
+_INF = np.float32(np.inf)  # numpy on purpose — see device_inner._INF
 
 
 def _trimmed_sum_bisect(x, h: int, upper: bool, iters: int = 24):

@@ -587,15 +587,9 @@ class GoIcpSolver:
                 seeds.append(np.asarray(init.R, np.float32))
             k = max(0, p.init_multistart - len(seeds))
             if k:
-                srng = np.random.default_rng(12345)
-                A = srng.normal(size=(k, 3, 3))
-                Q, Rr = np.linalg.qr(A)
-                Q = Q * np.sign(
-                    np.einsum("bii->bi", Rr)
-                )[:, None, :]
-                det = np.linalg.det(Q)
-                Q[det < 0, :, 0] *= -1.0
-                seeds.append(Q.astype(np.float32))
+                from goicp_tpu.geo.rotation import random_rotations
+
+                seeds.append(random_rotations(k, np.random.default_rng(12345)))
             R0 = np.concatenate([s.reshape(-1, 3, 3) for s in seeds])
             mu_s, mu_t = self.src.mean(0), self.tgt.mean(0)
             t0 = mu_t[None, :] - np.einsum("bij,j->bi", R0, mu_s)

@@ -42,7 +42,7 @@ from goicp_tpu.geo.rotation import rotation_displacement
 
 _SQRT3 = math.sqrt(3.0)
 _PREC = jax.lax.Precision.HIGHEST
-_INF = jnp.float32(np.inf)
+_INF = np.float32(np.inf)  # numpy on purpose — see bnb.device_inner._INF
 
 
 def pad_points(src: np.ndarray, norms: np.ndarray, n_points: int, quantum: int):

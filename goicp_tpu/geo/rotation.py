@@ -233,3 +233,17 @@ def rotation_displacement(max_angle, norms):
     """
     half = jnp.minimum(max_angle, jnp.pi) / 2.0
     return (2.0 * jnp.sin(half))[..., None] * norms[None, :]
+
+
+def random_rotations(n: int, rng) -> "np.ndarray":
+    """``[n,3,3]`` Haar-ish uniform random rotations (sign-fixed QR with a
+    det(+1) flip) — the shared host-numpy sampler for multistart seeds and
+    synthetic queries (previously re-implemented at every call site)."""
+    import numpy as np
+
+    A = rng.normal(size=(n, 3, 3))
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.einsum("bii->bi", R))[:, None, :]
+    det = np.linalg.det(Q)
+    Q[det < 0, :, 0] *= -1.0
+    return Q.astype(np.float32)

@@ -25,8 +25,15 @@ import jax
 import jax.numpy as jnp
 
 from goicp_tpu.bnb import BnbParams, GoIcpResult, make_solver
+# device_inner/se3/rotation are imported HERE, not inside the jitted bound
+# body: a module's FIRST import executed inside a jit trace runs its
+# import-time code under the trace, and any module-level jnp constant
+# becomes a leaked tracer that corrupts later unrelated compilations
+from goicp_tpu.bnb.device_inner import _exact_min_d2
+from goicp_tpu.bnb.se3 import _trimmed_sum_bisect
 from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.types import RigidTransform
+from goicp_tpu.geo.rotation import rotation_displacement
 from goicp_tpu.icp import IcpParams, run_icp
 from goicp_tpu.nn.brute import nearest_neighbor
 
@@ -44,6 +51,9 @@ def icp_pairs(
     sse [B], iters [B])`` with per-pair trimming of the padding built in.
     """
     B = len(pairs)
+    if B == 0:
+        z = jnp.zeros((0,), jnp.float32)
+        return RigidTransform.identity((0,)), z, z.astype(jnp.int32)
     n_src = max(p[0].shape[0] for p in pairs)
     n_tgt = max(p[1].shape[0] for p in pairs)
     srcs = np.zeros((B, n_src, 3), np.float32)
@@ -96,9 +106,10 @@ def register_pairs(
     axis partitioned and XLA runs each pair's bounds + refinement on its
     own devices with no cross-pair communication.  Trimming rides the
     lockstep too (per-pair inlier counts; trimmed sums via the bisection
-    kernel).  Falls back to the serial per-pair loop for configurations the
-    lockstep driver does not cover (quaternion cubes, grid bounds for huge
-    targets).
+    kernel), as do both rotation parametrizations.  Falls back to the
+    serial per-pair loop for configurations the lockstep driver does not
+    cover (grid bounds for huge targets, the nested engine, checkpointing,
+    span floors).
 
     ``solver_grid``: a prebuilt :class:`~goicp_tpu.nn.grid.DistanceGrid` for
     the shared target — only valid when every pair has the SAME target
@@ -110,6 +121,13 @@ def register_pairs(
         and len(pairs) >= 2
         and max(t.shape[0] for _, t in pairs) <= p.mxu_max
         and max(s.shape[0] for s, _ in pairs) <= p.bound_points
+        # configurations the lockstep driver does not implement route to
+        # the per-pair solvers, which honor them
+        and p.engine == "se3"
+        and p.bound_backend != "grid"
+        and not p.checkpoint_path
+        and p.min_rot_span == 0.0
+        and p.min_trans_span == 0.0
     )
     if lockstep_ok:
         return _register_pairs_lockstep(pairs, p, mesh=mesh)
@@ -139,10 +157,6 @@ def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask, h,
     valid exactly as in jly's trimmed bounds (``jly_goicp.cpp:293-315``) —
     the optimum's inlier set has ≥ the h smallest per-point lower bounds.
     Padded points carry +inf so they never occupy inlier slots."""
-    from goicp_tpu.bnb.device_inner import _exact_min_d2
-    from goicp_tpu.bnb.se3 import _trimmed_sum_bisect
-    from goicp_tpu.geo.rotation import rotation_displacement
-
     tile = 256
     nt = tgt.shape[0]
     padt = (-nt) % tile
@@ -249,14 +263,14 @@ def _register_pairs_lockstep(
         max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol,
         trim_fraction=p.trim_fraction,
     )
+    from goicp_tpu.geo.rotation import random_rotations
+
     K = max(1, min(p.init_multistart, 32))
-    srng = np.random.default_rng(12345)
-    A = srng.normal(size=(K - 1, 3, 3))
-    Q, Rr = np.linalg.qr(A)
-    Q = Q * np.sign(np.einsum("bii->bi", Rr))[:, None, :]
-    Q[np.linalg.det(Q) < 0, :, 0] *= -1.0
     seeds = np.concatenate(
-        [np.eye(3, dtype=np.float32)[None], Q.astype(np.float32)]
+        [
+            np.eye(3, dtype=np.float32)[None],
+            random_rotations(K - 1, np.random.default_rng(12345)),
+        ]
     )                                                      # [K,3,3]
     rep_pairs = [pairs[b] for b in range(P) for _ in range(K)]
     R0 = np.tile(seeds, (P, 1, 1))                         # [P·K,3,3]
@@ -304,7 +318,29 @@ def _register_pairs_lockstep(
     M_cap = 8 * pop_k
     converged = best_sse <= sse_thresh
     rounds = 0
-    nodes = 0
+    nodes = np.zeros(P, np.int64)       # per-pair expanded-node counters
+    icp_iters = np.zeros(P, np.int64)
+    # exact-backend f32-cancellation allowance (≙ GoIcpSolver._exact_slack):
+    # conservative mode deducts it from every lower bound so the lockstep
+    # path carries the same rigorous certificate as the serial solvers
+    if p.conservative:
+        import math as _math
+
+        scale = float(
+            max(np.abs(s).max() + np.abs(t).max() for s, t in pairs)
+            + p.trans_span * _SQRT3
+        )
+        slack = _math.sqrt(8.0 * 1.2e-7) * scale
+    else:
+        slack = 0.0
+    if mesh is not None and P % mesh.devices.size != 0:
+        from goicp_tpu.core.logging import get_logger
+
+        get_logger().warning(
+            "pair count %d does not divide over %d mesh devices; running "
+            "the lockstep unsharded", P, mesh.devices.size,
+        )
+        mesh = None
     if mesh is not None:
         # shard the pair axis over the mesh's (single) named axis: each
         # device group owns P/n_devices pairs end-to-end — the vmapped
@@ -313,9 +349,6 @@ def _register_pairs_lockstep(
         from jax.sharding import NamedSharding, PartitionSpec
 
         axis = mesh.axis_names[0]
-        assert P % mesh.devices.size == 0, (
-            f"pair count {P} must divide over {mesh.devices.size} devices"
-        )
         _shard = NamedSharding(mesh, PartitionSpec(axis))
         place = lambda a: jax.device_put(jnp.asarray(a), _shard)
     else:
@@ -354,7 +387,7 @@ def _register_pairs_lockstep(
             keep = rotparam.valid(child[:, 0:3], child[:, 3])
             child = child[keep]
             C = child.shape[0]
-            nodes += C
+            nodes[b] += C
             childs[b] = child
             R_all[b, :C] = rotparam.rotation(child[:, 0:3])
             ang_all[b, :C] = rotparam.max_angle(child[:, 0:3], child[:, 3])
@@ -363,16 +396,19 @@ def _register_pairs_lockstep(
             mask_all[b, :C] = True
 
         out = _pairs_round(
-            srcs_d, wts_d, norms_d, tgts_d, jnp.float32(0.0),
+            srcs_d, wts_d, norms_d, tgts_d, jnp.float32(slack),
             place(R_all), place(ang_all), place(t_all),
             place(ts_all), place(mask_all), place(h.astype(np.float32)),
             refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
         )
-        ub, lb, R_ref, t_ref, sse_ref, _ = map(np.asarray, jax.device_get(out))
+        ub, lb, R_ref, t_ref, sse_ref, it_ref = map(
+            np.asarray, jax.device_get(out)
+        )
 
         for b in active:
             child = childs[b]
             C = child.shape[0]
+            icp_iters[b] += int(it_ref[b].sum())
             j = int(np.argmin(sse_ref[b]))
             if float(sse_ref[b, j]) < best_sse[b]:
                 best_sse[b] = float(sse_ref[b, j])
@@ -403,9 +439,9 @@ def _register_pairs_lockstep(
                 mse=float(best_sse[b] / h[b]),
                 converged=done,
                 gap=float(max(gap, 0.0)),
-                rot_nodes=nodes,
-                trans_nodes=nodes,
-                icp_iters=0,
+                rot_nodes=int(nodes[b]),
+                trans_nodes=int(nodes[b]),
+                icp_iters=int(icp_iters[b]),
                 rounds=rounds,
                 wall_s=wall,
                 metrics=Metrics(),

@@ -306,17 +306,15 @@ class RegistrationService:
     def warmup(self, n_src: int, seed: int = 0) -> GoIcpResult:
         """Populate jit + persistent-compile caches for queries of size
         ``n_src`` (synthetic source: a rigidly-moved target subsample)."""
+        from goicp_tpu.geo.rotation import random_rotations
+
         rng = np.random.default_rng(seed)
         # exactly n_src points (sampling with replacement past the target
         # size): the jit cache is keyed on the query SHAPE, so warming any
         # other size would not help the first real n_src-point query
         idx = rng.choice(self.tgt.shape[0], n_src,
                          replace=n_src > self.tgt.shape[0])
-        A = rng.normal(size=(3, 3))
-        Q, Ru = np.linalg.qr(A)
-        Q = (Q * np.sign(np.diag(Ru))).astype(np.float32)
-        if np.linalg.det(Q) < 0:
-            Q[:, 0] *= -1
+        Q = random_rotations(1, rng)[0]
         src = (self.tgt[idx] @ Q.T).astype(np.float32)
         t0 = time.perf_counter()
         res = self.register(src)
@@ -357,6 +355,11 @@ class MultiTargetService:
         if self.default not in self.services:
             raise ValueError(f"default target {self.default!r} not served")
         self.name = f"zoo({', '.join(sorted(self.services))})"
+        # one chip ⇒ one device lock shared across every target's service
+        # (the cross-target serialization the class contract promises)
+        shared = threading.Lock()
+        for svc in self.services.values():
+            svc._lock = shared
 
     @property
     def source_root(self):
@@ -637,6 +640,9 @@ class Batcher(threading.Thread):
             first = self.q.get()
             if first is None:
                 continue
+            if self._stop.is_set():
+                self._refuse(first)
+                break
             group = [first]
             deadline = time.monotonic() + self.window_s
             while len(group) < self.max_batch:
@@ -651,6 +657,23 @@ class Batcher(threading.Thread):
                     break
                 group.append(nxt)
             self._serve_group(group)
+        # shutdown: refuse anything still queued so no handler thread
+        # waits forever on a _Pending that will never be served
+        while True:
+            try:
+                p = self.q.get_nowait()
+            except queue.Empty:
+                break
+            self._refuse(p)
+
+    def _refuse(self, p: Optional[_Pending]):
+        if p is None:
+            return
+        p.resp = _error_json(
+            p.req if isinstance(p.req, dict) else None,
+            RuntimeError("server shutting down"),
+        )
+        p.event.set()
 
     def _serve_group(self, group: List[_Pending]):
         # anything that can't join a uniform lane answers solo; icp-mode

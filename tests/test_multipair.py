@@ -200,6 +200,34 @@ def test_register_pairs_lockstep_quaternion(rng):
         assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1)))) < 5e-3
 
 
+def test_lockstep_then_single_solver_same_process(rng):
+    """Regression: a lockstep batch must not poison a later single-pair
+    solve.  (Module-level jnp constants in bnb.device_inner/bnb.se3 used to
+    be created during the lockstep's jit trace — their first import happened
+    inside it — leaking tracers that corrupted the later se3_round compile:
+    'Execution supplied 9 buffers but compiled program expected 12'.)"""
+    from goicp_tpu.bnb import make_solver
+
+    pairs = []
+    for _ in range(2):
+        src = (rng.random((100, 3)).astype(np.float32) - 0.5) * 0.6
+        R = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+        pairs.append((src, (src @ R.T + t).astype(np.float32)))
+    register_pairs(pairs, BnbParams(mse_threshold=1e-4, se3_pop=32,
+                                    max_rounds=40))
+
+    tgt = (rng.random((120, 3)).astype(np.float32) - 0.5)
+    Q = random_rotation(rng)
+    src = (tgt[rng.choice(120, 90, replace=False)] @ Q).astype(np.float32)
+    res = make_solver(
+        src, tgt,
+        BnbParams(mse_threshold=1e-4, grid_resolution=24, max_rounds=400,
+                  init_multistart=4, se3_pop=64),
+    ).run()
+    assert res.converged
+
+
 def test_register_pairs_global(rng):
     pairs, gts = [], []
     for i in range(2):
