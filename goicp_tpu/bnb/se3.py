@@ -319,8 +319,6 @@ def se3_round(
     ignore it.  Returns ``(ub, lb, R_ref, t_ref, sse_ref)`` where the last
     three are the ICP-refined poses of the ``refine_k`` best-ub nodes.
     """
-    from goicp_tpu.icp import exact_correspondence, grid_correspondence, run_icp
-
     if backend == "screen":
         ub, lb = evaluate_se3_nodes_screened(
             src, norms, tgt, slack, thresh, R, max_angle, t_c, t_span, mask,
@@ -586,7 +584,12 @@ class GoIcpSolverSE3(GoIcpSolver):
                 best_sse=np.float32(best_sse),
                 leaf_lb=np.float32(leaf_lb),
                 rounds=np.int64(rounds),
-                nodes=np.int64(m.counters.get("se3_nodes", 0)),
+                # in-flight parents get re-expanded on resume, so their
+                # already-counted children must not be counted twice
+                nodes=np.int64(
+                    m.counters.get("se3_nodes", 0)
+                    - sum(w["C"] for w in inflight)
+                ),
             )
             os.replace(tmp, p.checkpoint_path)
 
@@ -598,11 +601,13 @@ class GoIcpSolverSE3(GoIcpSolver):
             m.count("pops_trans", B)
             m.count("se3_nodes", 8 * B)
             # plane-merge potential: parents sharing a rotation payload could
-            # share one grouped base plane (diagnostic for kernel batching)
-            m.count(
-                "uniq_rot_in_tpops",
-                int(np.unique(pay[:, 0:4], axis=0).shape[0]),
-            )
+            # share one grouped base plane (diagnostic for kernel batching).
+            # Sampled every 16th round: the O(B log B) host row-sort is not
+            # worth paying on every dispatch of the hot loop.
+            if rounds % 16 == 1:
+                m.count("uniq_rot_in_tpops_sampled",
+                        int(np.unique(pay[:, 0:4], axis=0).shape[0]))
+                m.count("tpops_sampled", B)
 
             half_t = pay[:, 7] / 2.0                    # [B]
             t8 = pay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]

@@ -27,9 +27,10 @@ each round over an intra-process device mesh; this module adds the
   a (cubes × points) mesh over its own chips; rounds dispatch through
   ``dist.se3.make_sharded_se3_round`` with purely-local collectives, so
   the between-hosts lockstep is untouched.
-- **Rebalancing.** Every 8 lockstep iterations, if the busiest
-  frontier holds >4× the idlest (or any host is empty while work remains),
-  each host pops its ``exchange_k`` best nodes into a fixed-size buffer
+- **Rebalancing.** Every 4 lockstep iterations, if any host cannot fill
+  a round (< pop_cap) or the busiest frontier holds >2× the idlest (or any
+  host is empty while work remains), each host pops up to ``exchange_k``
+  best nodes FROM EACH of its two frontiers into a fixed-size buffer
   (inf-lb padded), allgathers, and re-partitions the merged set
   deterministically (sorted by lb, index mod P) — every node lands on
   exactly one host, so disjointness is preserved.
@@ -57,11 +58,11 @@ from jax.experimental import multihost_utils
 from goicp_tpu.bnb.frontier import make_frontier
 from goicp_tpu.bnb.se3 import se3_round, se3_round_grouped
 from goicp_tpu.bnb.solver import (
-    BnbParams,
     GoIcpResult,
     GoIcpSolver,
     _OCTANTS,
 )
+from goicp_tpu.core.progress import SolverState
 from goicp_tpu.core.types import RigidTransform
 
 _SQRT3 = math.sqrt(3.0)
@@ -102,6 +103,8 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         rot_floor = p.min_rot_span * self.rotparam.root_span
         trans_floor = max(p.min_trans_span, 1e-5)
 
+        beta = max(p.split_beta, 1e-6)
+
         def classify(pay):
             r_s, t_s = pay[:, 3], pay[:, 7]
             g_rot = 2.0 * np.sin(
@@ -109,7 +112,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             ) * mean_norm
             g_tr = _SQRT3 * t_s
             can_rot = r_s / 2.0 >= rot_floor
-            split_rot = (g_rot >= g_tr) | (t_s / 2.0 < trans_floor)
+            # same biased split rule as bnb/se3.py (split_beta > 1 favors
+            # the ~3x-cheaper grouped T-splits)
+            split_rot = (g_rot >= beta * g_tr) | (t_s / 2.0 < trans_floor)
             split_rot &= can_rot
             is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
             return split_rot, is_leaf
@@ -195,9 +200,13 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 "[p%d/%d] resumed from %s: round %d, frontier %d, best %.6g",
                 pid, P, ck_path, rounds, f_len(), best_sse,
             )
-            # rounds >= 1 after any snapshot, so the root mod-P partition
-            # (dispatch's `first` flag) never re-fires on resumed state
-            assert rounds >= 1
+            # the checkpoint may re-include the ROOT itself (a crash while
+            # round 1 was still in flight): its mod-P child partition must
+            # re-fire on resume or every host would expand the full root
+            root_pending = bool(
+                np.any(np.all(np.abs(ck["payload"] - root[None]) < 1e-6,
+                              axis=1))
+            )
         else:
             # EVERY process pushes the root and expands it identically on
             # the first round, keeping only children with index ≡ pid
@@ -206,9 +215,18 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 root[None], np.zeros(1, np.float32),
                 np.full(1, np.inf, np.float32),
             )
-        it = 0              # GLOBAL lockstep iteration — advances on every
-                            # process every loop, so every collective-gating
-                            # condition below derives from identical values
+            root_pending = True
+        # which frontier the root classifies into (deterministic — both the
+        # fresh push above and any checkpoint re-inclusion use classify)
+        _sr0, _lf0 = classify(root[None])
+        root_in_T = bool((~_sr0 & ~_lf0)[0])
+        # GLOBAL lockstep iteration — advances on every process every loop,
+        # so every collective-gating condition below derives from identical
+        # values.  On resume it CONTINUES from the checkpoint (a monotone
+        # counter): restarting at 0 would let checkpoint files from
+        # different resume generations alias the same `it` and defeat the
+        # consistent-cut check above.
+        it = int(ck["it"]) if resume and "it" in ck else 0
         pop_cap = p.se3_pop or 256
 
         # ---- optional intra-process device mesh: the between-hosts frontier
@@ -232,10 +250,15 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             pop_cap = -(-pop_cap // n_c) * n_c
 
         M_cap = 8 * pop_cap
+        # rebalance constants must be IDENTICAL on every process (they gate
+        # and size a collective), but pop_cap is rounded by the LOCAL mesh
+        # extent — heterogeneous hosts would diverge.  One allgather at
+        # init fixes the global values.
+        pop_cap_g = int(_allgather_np(np.float32([pop_cap]))[:, 0].max())
         # per-frontier nodes offered into a rebalance: enough mass that a
         # starved host leaves with ≥ pop_cap work (the buffer rides one
         # small allgather — 2·k·10 f32 per host)
-        exchange_k = max(64, 2 * pop_cap)
+        exchange_k = max(64, 2 * pop_cap_g)
         converged = best_sse <= self.sse_thresh
         _slack = jnp.float32(
             self._exact_slack
@@ -243,7 +266,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             else self.ev.slack
         )
 
-        def evaluate(child, lf):
+        def evaluate(child):
             """One fused singleton round over ``child [C,8]`` payloads."""
             C = child.shape[0]
             padn = M_cap - C
@@ -368,12 +391,14 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             kernel (async); the results are fetched by :func:`absorb`.
             Purely local — no collectives — so processes may run different
             depths in flight.  T-rounds ride the grouped 8-sibling kernel;
-            R-rounds (and leaves) the singleton kernel.  The FIRST round is
-            always singleton: its mod-P child partition breaks 8-sibling
-            blocks (the root may itself be a T-split)."""
-            first = rounds == 1
+            R-rounds (and leaves) the singleton kernel.  While the ROOT is
+            un-expanded (fresh start, or re-included by a resumed
+            checkpoint) the round is forced singleton from the root's
+            frontier: its mod-P child partition breaks 8-sibling blocks
+            (the root may itself be a T-split)."""
+            nonlocal root_pending
             use_T = (
-                not first
+                not root_pending
                 and len(fT)
                 and (not len(fR) or fT.min_lb() <= fR.min_lb())
             )
@@ -391,7 +416,12 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 out, R_c = evaluate_grouped(pay)
                 parts = [(child, np.zeros(8 * B, bool), R_c, out, 8 * B)]
             else:
-                src_f = fR if len(fR) else fT
+                if root_pending:
+                    src_f = (fT if root_in_T else fR)
+                    if not len(src_f):      # root not in this slice after all
+                        src_f = fR if len(fR) else fT
+                else:
+                    src_f = fR if len(fR) else fT
                 pay, pop_lb, _ = src_f.pop_best(pop_cap)
                 split_rot, is_leaf = classify(pay)
                 B = pay.shape[0]
@@ -401,7 +431,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 lf = np.repeat(is_leaf, 8)
                 half_r = np.repeat(pay[:, 3], 8) / 2.0
                 half_t = np.repeat(pay[:, 7], 8) / 2.0
-                tr = ~sr & ~lf       # only possible on the first round
+                tr = ~sr & ~lf       # only possible while the root is pending
                 child[sr, 0:3] += oct8[sr] * half_r[sr, None]
                 child[sr, 3] = half_r[sr]
                 child[tr, 4:7] += oct8[tr] * half_t[tr, None]
@@ -410,17 +440,27 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 if lf.any():
                     keep &= ~lf | (np.arange(8 * B) % 8 == 0)
                 keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
-                # the identical ROOT expansion partitions children across
-                # processes; afterwards each host owns its subtree slices
-                if first and P > 1:
-                    keep &= (np.arange(8 * B) % P) == pid
+                # the identical ROOT expansion partitions ITS children
+                # across processes (per-parent: a resumed batch can mix the
+                # root with ordinary nodes whose children are host-local);
+                # afterwards each host owns its subtree slices
+                if root_pending:
+                    root_rows = np.all(
+                        np.abs(pay - root[None]) < 1e-6, axis=1
+                    )
+                    if root_rows.any():
+                        if P > 1:
+                            from_root = np.repeat(root_rows, 8)
+                            child_idx = np.tile(np.arange(8), B)
+                            keep &= ~from_root | (child_idx % P == pid)
+                        root_pending = False
                 child, lf = child[keep], lf[keep]
                 Cs = child.shape[0]
                 parts = []
                 if Cs:
                     assert Cs <= M_cap
                     m.count("se3_nodes", Cs)
-                    out, R_c = evaluate(child, lf)
+                    out, R_c = evaluate(child)
                     parts = [(child, lf, R_c, out, Cs)]
             # the popped parents are in neither the frontier nor any pushed
             # children until absorbed: report their lb/count so the global
@@ -499,6 +539,8 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             )
             os.replace(tmp, ck_path)
 
+        _bnb_phase = m.phase("bnb")
+        _bnb_phase.__enter__()
         while True:
             it += 1
             # ---- local work: dispatch ahead up to `depth` rounds AND
@@ -548,6 +590,15 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 converged = True
             if best_sse - g_min_lb <= self.sse_thresh or total == 0:
                 converged = True
+            if new_best or it % 16 == 0:
+                _n = int(m.counters.get("se3_nodes", 0))
+                self.progress.publish(SolverState(
+                    opt_R=np.asarray(best_R), opt_t=np.asarray(best_t),
+                    cur_R=np.asarray(best_R), cur_t=np.asarray(best_t),
+                    best_sse=float(best_sse),
+                    gap=float(max(best_sse - g_min_lb, 0.0)),
+                    finished=False, rot_nodes=_n, trans_nodes=_n, round=it,
+                ))
             # unanimous break: converged/g_min_lb/sizes are identical on all
             # processes and want_stop is max-reduced, so every process takes
             # this branch on the same iteration (no dangling collectives)
@@ -563,9 +614,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # unanimous and the collective count stays uniform
             if force or (
                 it % 4 == 0
-                and total > P * pop_cap / 2
+                and total > P * pop_cap_g / 2
                 and (
-                    sizes.min() < pop_cap
+                    sizes.min() < pop_cap_g
                     or sizes.max() > 2 * max(sizes.min(), 1.0)
                 )
             ):
@@ -600,6 +651,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         best_R, best_t, best_sse = self._exchange_incumbent(
             best_R, best_t, best_sse
         )
+        _bnb_phase.__exit__(None, None, None)
 
         # full-resolution polish (bound_points-capped solves): the incumbent
         # is exchange-identical on every process and the polish is
@@ -615,6 +667,13 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             pid, P, best_sse, rounds, nodes,
             int(m.counters.get("rebalances", 0)), wall,
         )
+        self.progress.publish(SolverState(
+            opt_R=np.asarray(best_R), opt_t=np.asarray(best_t),
+            cur_R=np.asarray(best_R), cur_t=np.asarray(best_t),
+            best_sse=float(best_sse),
+            gap=float(max(gap, 0.0)) if math.isfinite(gap) else 0.0,
+            finished=True, rot_nodes=nodes, trans_nodes=nodes, round=rounds,
+        ))
         return GoIcpResult(
             transform=RigidTransform(best_R, best_t),
             sse=best_sse,

@@ -297,12 +297,15 @@ def _register_pairs_lockstep(
         [np.linalg.norm(s, axis=1).mean() for s, _ in pairs]
     )
 
+    beta = max(p.split_beta, 1e-6)
+
     def classify(b, pay):
         ang = rotparam.max_angle(pay[:, 0:3], pay[:, 3])
         t_s = pay[:, 7]
         g_rot = 2.0 * np.sin(np.minimum(ang, np.pi) / 2.0) * mean_norm[b]
         g_tr = _SQRT3 * t_s
-        return g_rot >= g_tr                      # split rotation else trans
+        # same biased split rule as bnb/se3.py (split_beta honored)
+        return g_rot >= beta * g_tr               # split rotation else trans
 
     fronts = [make_frontier(8) for _ in range(P)]
     for b in range(P):
