@@ -306,6 +306,17 @@ def run_icp_trace(
         ys = (T_cur.R, T_cur.t, sse_cur, active)
         return (T_b, sse_b, T_n, still), ys
 
+    if params.max_iter == 0:
+        # pure scoring — the same contract as run_icp(max_iter=0): one
+        # correspondence pass, no refinement step, iters=0
+        dst0, d20 = corr(init.apply(src))
+        sse0 = _sse(d20, _w(d20))
+        trace = (
+            init.R[None], init.t[None], sse0[None],
+            jnp.asarray([False]),
+        )
+        return IcpResult(transform=init, sse=sse0, iters=jnp.int32(0)), trace
+
     state = (init, jnp.float32(jnp.inf), init, jnp.asarray(True))
     (T, sse, _, _), trace = jax.lax.scan(
         step, state, None, length=max(params.max_iter, 1)

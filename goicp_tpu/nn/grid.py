@@ -79,6 +79,10 @@ def grid_domain(
     lo, hi = t.min(0), t.max(0)
     center = (lo + hi) / 2
     side = float((hi - lo).max()) * expand
+    if side <= 0.0:
+        # degenerate cloud (single point / coincident points): a zero-sized
+        # domain would give cell=0 and NaN lookups everywhere
+        side = max(1e-3, 2e-3 * float(np.abs(center).max()), 1.0e-3)
     if cover is not None:
         c = np.asarray(cover).reshape(-1, 3)
         side = max(
@@ -297,15 +301,24 @@ def lookup_index(grid: DistanceGrid, queries):
 def distance_bounds(grid: DistanceGrid, queries, lookup: str = "trilinear"):
     """Per-query conservative distance interval ``(d_lo, d_hi)``.
 
-    Inside the domain both equal ``sqrt(lookup)``, matching the reference's
-    single value (``registration.cu:48-50``); outside, the escape correction
-    applies the triangle inequality instead of silently clamping.
+    The interval accounts for the lookup's lattice discretization error
+    (the field is exact only at cell centers; d is 1-Lipschitz) and the
+    build's rasterization error, so ``d_lo ≤ true ≤ d_hi`` holds
+    unconditionally — unlike the reference's single fetched value
+    (``registration.cu:48-50``), which silently carries both errors.
+    Outside the domain the escape correction applies the triangle
+    inequality instead of silently clamping.  (``bnb.bounds`` uses the raw
+    lookups + ``lattice_slack`` directly instead of this helper, applying
+    the same correction at its own layer.)
     """
     if lookup == "trilinear":
         val, esc = lookup_sq_trilinear(grid, queries)
+        lat = grid.cell * np.sqrt(3.0)
     elif lookup == "nearest":
         val, esc = lookup_sq_nearest(grid, queries)
+        lat = grid.cell * (np.sqrt(3.0) / 2.0)
     else:
         raise ValueError(f"unknown lookup {lookup!r}")
+    slack = lat + grid.raster_err
     d = jnp.sqrt(jnp.maximum(val, 0.0))
-    return jnp.maximum(d - esc, 0.0), d + esc
+    return jnp.maximum(d - esc - slack, 0.0), d + esc + slack

@@ -62,9 +62,12 @@ def _pick_tile(n: int, cap: int, quantum: int = 128) -> int:
         t += quantum
     return best
 
-# MXU precision: HIGH = bf16x3 ≈ f32-accurate for O(1) coordinates at ~2×
-# the speed of HIGHEST's bf16x6 emulation; DEFAULT (1-pass bf16) loses ~1e-2
-# absolute in d² — enough to pick wrong neighbors (round-1 measurement).
+# MXU precision, pinned to HIGHEST (bf16x6 ≈ exact f32): certified bounds
+# must not inherit matmul rounding.  HIGH (bf16x3) measured ~2× faster and
+# close to f32 for O(1) coordinates, but the 'dot' variant is off the
+# default path anyway (the VPU diff form wins — FUTURE.md round-2 ledger),
+# so exactness is the only job this constant has.  DEFAULT (1-pass bf16)
+# loses ~1e-2 absolute in d² — enough to pick wrong neighbors (round-1).
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -89,6 +92,8 @@ def _min_d2_kernel(params_ref, src_ref, wm_ref, d2_ref, idx_ref=None, *,
     qz = px * params_ref[b, 6] + py * params_ref[b, 7] + pz * params_ref[b, 8] \
         + params_ref[b, 11]
     qn = qx * qx + qy * qy + qz * qz
+    if variant not in ("dot", "exp", "diff"):
+        raise ValueError(f"unknown variant {variant!r}")
     if variant == "dot":
         one = jnp.ones_like(qx)
         zero = jnp.zeros_like(qx)
@@ -453,7 +458,12 @@ def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, *,
     ub, lb = jax.lax.fori_loop(
         0, nb, block, (jnp.float32(0.0), jnp.float32(0.0))
     )
-    ub = jnp.where(lb < thresh, ub, 1e30)   # screened ⇒ partial ub: sentinel
+    # lb ≥ thresh ⇒ the node is dead under the ε-rule.  Its ub is replaced
+    # by a sentinel EVEN IF every block ran (a completed ub in
+    # [thresh, best) could nudge the incumbent by < ε, but distinguishing
+    # "completed" from "screened early — partial, invalid ub" would cost a
+    # flag per node; ε-optimality is unaffected either way).
+    ub = jnp.where(lb < thresh, ub, 1e30)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     out_ref[0, :, :] = jnp.where(col == 0, ub, jnp.where(col == 1, lb, 0.0))
 

@@ -128,3 +128,24 @@ def test_icp_converges_faster_than_max_iter(rng):
         IcpParams(max_iter=64, rel_tol=1e-4),
     )
     assert int(res.iters) < 64
+
+
+def test_icp_trace_max_iter_zero_scores_only(rng):
+    """run_icp_trace(max_iter=0) mirrors run_icp's pure-scoring contract:
+    no refinement step, iters=0 (review: it used to run one live step)."""
+    import jax.numpy as jnp
+
+    from goicp_tpu.core.types import RigidTransform
+    from goicp_tpu.icp import IcpParams, exact_correspondence, run_icp
+    from goicp_tpu.icp.solver import run_icp_trace
+
+    src = (rng.random((40, 3)).astype(np.float32) - 0.5)
+    tgt = (src + 0.05).astype(np.float32)
+    corr = exact_correspondence(jnp.asarray(tgt))
+    p0 = IcpParams(max_iter=0)
+    res_t, trace = run_icp_trace(src, corr, RigidTransform.identity(), p0)
+    res = run_icp(src, corr, RigidTransform.identity(), p0)
+    assert int(res_t.iters) == 0 == int(res.iters)
+    assert np.isclose(float(res_t.sse), float(res.sse))
+    assert np.allclose(np.asarray(res_t.transform.R), np.eye(3))
+    assert not bool(np.asarray(trace[3]).any())

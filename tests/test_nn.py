@@ -107,3 +107,29 @@ def test_kdtree_oracle_matches_brute(rng):
     d, i = tree.query(q)
     ref = _oracle_min_d2(q, t)
     assert np.allclose(d * d, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_distance_bounds_conservative_inside_domain(rng):
+    """The public interval must bracket the TRUE distance even between cell
+    centers (review: d_lo used to omit the lattice discretization slack)."""
+    t = (rng.random((60, 3)).astype(np.float32) - 0.5)
+    g = build_distance_grid(t, n=16, method="brute")  # coarse: big cells
+    q = (rng.random((200, 3)).astype(np.float32) - 0.5) * 0.9
+    true_d = np.sqrt(_oracle_min_d2(q, t))
+    for lookup in ("nearest", "trilinear"):
+        lo, hi = distance_bounds(g, jnp.asarray(q), lookup=lookup)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        assert (lo <= true_d + 1e-5).all(), (lookup, float((lo - true_d).max()))
+        assert (hi >= true_d - 1e-5).all(), lookup
+
+
+def test_degenerate_single_point_target():
+    """A single-point (zero-extent) target must not yield a zero-sized
+    domain (cell=0 -> NaN lookups)."""
+    t = np.array([[1.0, 2.0, 3.0]], np.float32)
+    g = build_distance_grid(t, n=8, method="brute")
+    assert float(g.cell) > 0
+    q = np.array([[1.0, 2.0, 3.5]], np.float32)
+    lo, hi = distance_bounds(g, jnp.asarray(q), lookup="nearest")
+    assert np.isfinite(float(lo[0])) and np.isfinite(float(hi[0]))
+    assert float(lo[0]) <= 0.5 <= float(hi[0])
