@@ -393,6 +393,13 @@ TQB = 384           # point-block cap for the screened kernels (smaller blocks
                     # against per-program overhead)
 
 
+# NOTE: the ~20-line transform + min-over-target-chunks block is repeated
+# (with different parameter-row layouts) across _min_d2_kernel,
+# _bounds_kernel, _bounds_grouped_kernel and _bounds_trimmed_kernel ON
+# PURPOSE: these are the measured-at-the-VPU-ceiling hot kernels, and
+# Mosaic codegen is sensitive to the exact traced form (FUTURE.md ledger:
+# the algebraically-equal expansion form lost ~25%).  Edit all four
+# together; the bracket tests in tests/test_bnb.py catch any divergence.
 def _bounds_kernel(params_ref, src_ref, wm_ref, out_ref, *,
                    n_chunks: int, tm: int, tq: int, nb: int):
     """ONE program per node: fused bounds with in-program screening.
