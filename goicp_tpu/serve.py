@@ -198,8 +198,21 @@ class RegistrationService:
             # the resident grid: O(1) correspondences per iteration
             else grid_correspondence(self.grid, self._tgt_dev)
         )
-        self._icp_cache[key] = (ip, corr)
-        return ip, corr
+
+        import jax
+
+        from goicp_tpu.icp import run_icp
+
+        # jit the refine closure: an eager run_icp pays ~0.1-0.2 s of
+        # per-call TRACING (measured A/B on hardware) — fatal for the
+        # millisecond tracking path this serves
+        @jax.jit
+        def refine_fn(srcs, T0, w):
+            res = run_icp(srcs, corr, T0, ip, point_weights=w)
+            return res.transform.R, res.transform.t, res.sse, res.iters
+
+        self._icp_cache[key] = (ip, corr, refine_fn)
+        return self._icp_cache[key]
 
     def refine(
         self,
@@ -212,28 +225,27 @@ class RegistrationService:
         reference's per-frame ICP modes, ``icp_kernel.cu:48-217``)."""
         import jax.numpy as jnp
 
-        from goicp_tpu.icp import run_icp
-
         p = self._params(overrides)
-        ip, corr = self._icp_setup(p)
+        ip, corr, refine_fn = self._icp_setup(p)
         T0 = init if init is not None else RigidTransform.identity()
+        src = np.asarray(src, np.float32)
         t0 = time.perf_counter()
         with self._lock:
             self.queries += 1
-            res = run_icp(jnp.asarray(src, jnp.float32), corr, T0, ip)
-        sse = float(res.sse)
+            R, t, sse, iters = refine_fn(
+                jnp.asarray(src), T0, jnp.ones(src.shape[0], jnp.float32)
+            )
+        sse = float(sse)
         n_eff = max(1, int(round(src.shape[0] * (1.0 - p.trim_fraction))))
         return GoIcpResult(
-            transform=RigidTransform(
-                np.asarray(res.transform.R), np.asarray(res.transform.t)
-            ),
+            transform=RigidTransform(np.asarray(R), np.asarray(t)),
             sse=sse,
             mse=sse / n_eff,
             converged=sse / n_eff <= p.mse_threshold,
             gap=0.0,
             rot_nodes=0,
             trans_nodes=0,
-            icp_iters=int(res.iters),
+            icp_iters=int(iters),
             rounds=0,
             wall_s=time.perf_counter() - t0,
             metrics=Metrics(),
@@ -251,12 +263,10 @@ class RegistrationService:
         re-uploaded nor tiled per query."""
         import jax.numpy as jnp
 
-        from goicp_tpu.icp import run_icp
-
         if not sources:
             return []
         p = self._params(overrides)
-        ip, corr = self._icp_setup(p)
+        ip, corr, refine_fn = self._icp_setup(p)
         B = len(sources)
         N = max(s.shape[0] for s in sources)
         srcs = np.zeros((B, N, 3), np.float32)
@@ -273,15 +283,14 @@ class RegistrationService:
         t_start = time.perf_counter()
         with self._lock:
             self.queries += B
-            res = run_icp(
-                jnp.asarray(srcs), corr,
-                RigidTransform(jnp.asarray(R0), jnp.asarray(t0v)), ip,
-                point_weights=jnp.asarray(w),
+            Rn, tn, sse, iters = refine_fn(
+                jnp.asarray(srcs),
+                RigidTransform(jnp.asarray(R0), jnp.asarray(t0v)),
+                jnp.asarray(w),
             )
-            T, sse, iters = res.transform, res.sse, res.iters
         wall = time.perf_counter() - t_start
-        Rn = np.asarray(T.R)
-        tn = np.asarray(T.t)
+        Rn = np.asarray(Rn)
+        tn = np.asarray(tn)
         sse = np.asarray(sse, np.float64)
         iters = np.asarray(iters)
         out = []
