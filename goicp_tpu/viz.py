@@ -139,7 +139,10 @@ class LiveSnapshotter:
         self.max_snapshots = max_snapshots
         self.paths: list[str] = []
         self.states: list[SolverState] = []
-        self._last = 0.0   # first publish always fires
+        self._last = None  # first publish always fires (perf_counter() is
+                           # seconds since BOOT — a 0.0 sentinel silently
+                           # throttles the first snapshot on a machine with
+                           # uptime < every_s)
         bus.subscribe(self._on_state)
 
     def _on_state(self, s: SolverState):
@@ -148,7 +151,7 @@ class LiveSnapshotter:
         # the terminal state ALWAYS writes (throttle and snapshot cap do not
         # apply): live.html must drop its reload tag and show the final pose
         if not s.finished and (
-            now - self._last < self.every_s
+            (self._last is not None and now - self._last < self.every_s)
             or len(self.paths) >= self.max_snapshots
         ):
             return
