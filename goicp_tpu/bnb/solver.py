@@ -266,6 +266,16 @@ class BnbParams:
     icp_refine_factor: float = 2.0   # ≙ fgoicp.cpp:75
     icp_max_iter: int = 100
     icp_rel_tol: float = 1e-4
+    icp_metric: str = "point"        # "point" (ref parity, icp3d.cu:140-172)
+                                     # | "plane" (point-to-plane Gauss-Newton
+                                     # — far fewer iterations on smooth scan
+                                     # geometry).  Consumed by the SERVING
+                                     # tracking path (serve.refine*) and the
+                                     # CLI ICP modes; the BnB engines' own
+                                     # incumbent refinement always descends
+                                     # the point-to-point objective (it IS
+                                     # the certified objective)
+    normals_k: int = 16              # kNN size for PCA target normals
     icp_cap: int = 64                # max candidates refined per batched ICP
     conservative: bool = False       # True: deflate lbs by the grid
                                      # discretization error → rigorous

@@ -85,6 +85,8 @@ def bnb_params_from_config(cfg: Config) -> BnbParams:
         icp_refine_factor=t.icp_refine_factor,
         icp_max_iter=t.icp_max_iter,
         icp_rel_tol=t.icp_rel_tol,
+        icp_metric=t.icp_metric,
+        normals_k=t.normals_k,
         max_wall_s=t.max_wall_s,
     )
 
@@ -102,14 +104,20 @@ def run_icp_mode(cfg: Config, src, tgt, bus: ProgressBus | None = None):
         max_iter=cfg.tpu.icp_max_iter,
         rel_tol=min(cfg.tpu.icp_rel_tol, cfg.mse_threshold),
         trim_fraction=cfg.effective_trim_fraction,
+        metric=cfg.tpu.icp_metric,
     )
+    normals = None
+    if cfg.tpu.icp_metric == "plane":
+        from goicp_tpu.geo.normals import estimate_normals
+
+        normals = estimate_normals(tgt, k=cfg.tpu.normals_k)
     if cfg.mode == Mode.ICP_KDTREE_GPU:
         grid = build_distance_grid(
             tgt, n=cfg.tpu.grid_resolution, method="edt", with_index=True
         )
-        corr = grid_correspondence(grid, jnp.asarray(tgt))
+        corr = grid_correspondence(grid, jnp.asarray(tgt), normals=normals)
     else:
-        corr = exact_correspondence(tgt)
+        corr = exact_correspondence(tgt, normals=normals)
     t0 = time.perf_counter()
     if bus is not None:
         res, trace = run_icp_trace(src, corr, RigidTransform.identity(), params)

@@ -97,6 +97,10 @@ class TpuConfig:
     min_trans_span: float = 0.0    # 0 = no floor (ref 0.12, fgoicp.cpp:160)
     icp_max_iter: int = 128         # ref: 1000 initial / 500 refine (fgoicp.cpp:11,77)
     icp_rel_tol: float = 1e-3       # ref convergence_threshold (fgoicp.cpp:11)
+    icp_metric: str = "point"       # "point" (ref parity) | "plane" (point-to-
+                                    # plane upgrade; the reference has no
+                                    # normals anywhere — icp3d.cu:140-172)
+    normals_k: int = 16             # kNN size for PCA normals (plane metric)
     rotation_param: str = "axis_angle"  # "axis_angle" (jly, uniform bound) | "quaternion" (fgoicp)
     lookup: str = "nearest"         # "nearest" (ref CPU DT) | "trilinear" (ref tex3D)
     seed: int = 0                   # subsampling RNG seed (ref uses random_device)

@@ -9,6 +9,7 @@ from goicp_tpu.geo.rotation import (
     rotation_displacement,
 )
 from goicp_tpu.geo.procrustes import procrustes, horn_quaternion, quat_to_matrix
+from goicp_tpu.geo.normals import estimate_normals
 
 __all__ = [
     "quat_cube_rotation",
@@ -22,4 +23,5 @@ __all__ = [
     "procrustes",
     "horn_quaternion",
     "quat_to_matrix",
+    "estimate_normals",
 ]

@@ -64,7 +64,7 @@ _QUERY_KEYS = (
 # operator-controlled)
 _PARAM_KEYS = (
     "mse_threshold", "trim_fraction", "max_rounds", "max_wall_s",
-    "init_multistart",
+    "init_multistart", "icp_metric",
 )
 
 
@@ -96,6 +96,7 @@ class RegistrationService:
         self._lock = threading.Lock()   # one device, one solve at a time
         self.queries = 0
         self._tgt_dev = None            # device-resident target, first use
+        self._nrm_dev: dict = {}        # normals_k -> device target normals
         self._icp_cache: dict = {}      # (params key) -> (IcpParams, corr)
         t0 = time.perf_counter()
         self.grid = build_distance_grid(
@@ -171,7 +172,7 @@ class RegistrationService:
         (the resident-state contract in docs/SERVING.md)."""
         key = (
             p.icp_max_iter, p.icp_rel_tol, p.mse_threshold,
-            p.trim_fraction, p.icp_exact_max,
+            p.trim_fraction, p.icp_exact_max, p.icp_metric, p.normals_k,
         )
         hit = self._icp_cache.get(key)
         if hit is not None:
@@ -187,16 +188,25 @@ class RegistrationService:
 
         if self._tgt_dev is None:
             self._tgt_dev = jnp.asarray(self.tgt)
+        normals = None
+        if p.icp_metric == "plane":
+            normals = self._nrm_dev.get(p.normals_k)
+            if normals is None:
+                from goicp_tpu.geo.normals import estimate_normals
+
+                normals = estimate_normals(self._tgt_dev, k=p.normals_k)
+                self._nrm_dev[p.normals_k] = normals
         ip = IcpParams(
             max_iter=p.icp_max_iter,
             rel_tol=min(p.icp_rel_tol, p.mse_threshold),
             trim_fraction=p.trim_fraction,
+            metric=p.icp_metric,
         )
         corr = (
-            exact_correspondence(self._tgt_dev)
+            exact_correspondence(self._tgt_dev, normals=normals)
             if self.tgt.shape[0] <= p.icp_exact_max
             # the resident grid: O(1) correspondences per iteration
-            else grid_correspondence(self.grid, self._tgt_dev)
+            else grid_correspondence(self.grid, self._tgt_dev, normals=normals)
         )
 
         import jax
