@@ -274,6 +274,12 @@ def run_serving(n_queries=8, n_src=1200):
     tb = svc.refine_batch(queries, inits=priors)
     twall = time.perf_counter() - t0
 
+    # point-to-plane tracking (icp_metric wire override; resident normals)
+    svc.refine_batch(queries, inits=priors, icp_metric="plane")   # warm
+    t0 = time.perf_counter()
+    tp = svc.refine_batch(queries, inits=priors, icp_metric="plane")
+    pwall = time.perf_counter() - t0
+
     return {
         "target_points": int(tgt.shape[0]),
         "query_points": n_src,
@@ -285,6 +291,8 @@ def run_serving(n_queries=8, n_src=1200):
         "tracking_warm_s": round(float(np.median(tracks)), 4),
         "tracking_batch_per_query_s": round(twall / n_queries, 4),
         "tracking_all_converged": bool(all(r.converged for r in tb)),
+        "tracking_plane_batch_per_query_s": round(pwall / n_queries, 4),
+        "tracking_plane_all_converged": bool(all(r.converged for r in tp)),
     }
 
 

@@ -58,3 +58,13 @@ with socket.create_connection(("127.0.0.1", port)) as s:
     })
     print("track:", r2["converged"], "iters", r2["icp_iters"],
           "wall", r2["wall_s"])
+
+    # point-to-plane tracking: tighter poses / fewer iterations on smooth
+    # scan geometry (target normals are PCA-estimated once, held resident)
+    r3 = call({
+        "id": 3, "points": query.round(6).tolist(), "mode": "icp",
+        "init": {"R": r["R"], "t": r["t"]},
+        "icp_metric": "plane",   # whitelisted per-query override
+    })
+    print("track/plane:", r3["converged"], "iters", r3["icp_iters"],
+          "wall", r3["wall_s"])

@@ -505,7 +505,7 @@ class GoIcpSolverSE3(GoIcpSolver):
         _mesh = make_engine_mesh(
             p, self._backend, self.src, np.asarray(self.ev.norms),
             h=(self.ev.h if p.trim_fraction > 0 else 0),
-            icp_params=self._icp_params,
+            icp_params=self._icp_params_round,
             icp_backend=self._icp_backend,
             log=self.log,
         )
@@ -675,7 +675,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                     tile=p.point_tile,
                     tgt_tile=256,
                     refine_k=p.refine_top_k,
-                    icp_params=self._icp_params,
+                    icp_params=self._icp_params_round,
                     icp_backend=self._icp_backend,
                 )
             return {
@@ -813,7 +813,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                 tile=p.point_tile,
                 tgt_tile=256,
                 refine_k=p.refine_top_k,
-                icp_params=self._icp_params,
+                icp_params=self._icp_params_round,
                 icp_backend=self._icp_backend,
             )
             return {

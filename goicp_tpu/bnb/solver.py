@@ -42,6 +42,7 @@ from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.progress import ProgressBus, SolverState
 from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.geo import rotation as rot
+from goicp_tpu.geo.normals import estimate_normals
 from goicp_tpu.icp import IcpParams, grid_correspondence, run_icp
 from goicp_tpu.nn.grid import build_distance_grid
 
@@ -172,21 +173,24 @@ _PARAMS = {"quaternion": QuatParam, "axis_angle": AxisAngleParam}
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _grid_icp(src, grid, tgt, R, t, params: IcpParams):
+def _grid_icp(src, grid, tgt, R, t, params: IcpParams, normals=None):
     """Module-level jitted batched grid-correspondence ICP: one compiled
-    executable shared across solver instances with same-shaped problems."""
-    return run_icp(src, grid_correspondence(grid, tgt), RigidTransform(R, t), params)
+    executable shared across solver instances with same-shaped problems.
+    ``normals``: target normals for ``params.metric="plane"``."""
+    corr = grid_correspondence(grid, tgt, normals=normals)
+    return run_icp(src, corr, RigidTransform(R, t), params)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _exact_icp(src, tgt, R, t, params: IcpParams):
+def _exact_icp(src, tgt, R, t, params: IcpParams, normals=None):
     """Exact brute-force-NN ICP (≙ ``icp3d.cu:13-30``): used when the target
     cloud is small enough that exact correspondences are cheap — the refined
     SSE is then the *true* objective, which tightens incumbent-driven
     pruning (a grid-correspondence SSE overestimates)."""
     from goicp_tpu.icp import exact_correspondence
 
-    return run_icp(src, exact_correspondence(tgt), RigidTransform(R, t), params)
+    corr = exact_correspondence(tgt, normals=normals)
+    return run_icp(src, corr, RigidTransform(R, t), params)
 
 
 # ---------------------------------------------------------------------------
@@ -465,9 +469,26 @@ class GoIcpSolver:
             max_iter=params.icp_max_iter,
             rel_tol=params.icp_rel_tol,
             trim_fraction=params.trim_fraction,
+            metric=params.icp_metric,
+        )
+        # the SE(3) engine's IN-ROUND refine tail (se3.py:_refine_tail) has
+        # no normals plumbing — it always refines point-to-point; the plane
+        # metric applies to the multistart initial ICP and the full polish,
+        # which dominate the scenario walls (BnB rarely engages there)
+        self._icp_params_round = dataclasses.replace(
+            self._icp_params, metric="point"
         )
         self._src_dev = jnp.asarray(self.src)
         self._tgt_dev = jnp.asarray(self.tgt)
+        # plane-metric refinement descends the point-to-plane objective but
+        # incumbents are ALWAYS the point-SSE best pose (run_icp's reported
+        # sse is point-to-point in both metrics), so BnB pruning and the
+        # ε-certificate are metric-independent
+        self._nrm_dev = (
+            None
+            if params.icp_metric != "plane"
+            else estimate_normals(self._tgt_dev, k=params.normals_k)
+        )
         # exact-backend numerical slack: the MXU |t|²−2t·p+|p|² expansion can
         # misstate d² by ~8·ε_f32·scale², i.e. d by up to √(8·ε)·scale —
         # deducted from certified lower bounds (conservative mode only;
@@ -499,6 +520,7 @@ class GoIcpSolver:
                     jnp.asarray(Rb),
                     jnp.asarray(tb),
                     self._icp_params,
+                    normals=self._nrm_dev,
                 )
             else:
                 res = _grid_icp(
@@ -508,6 +530,7 @@ class GoIcpSolver:
                     jnp.asarray(Rb),
                     jnp.asarray(tb),
                     self._icp_params,
+                    normals=self._nrm_dev,
                 )
             outs.append(
                 (
@@ -556,13 +579,13 @@ class GoIcpSolver:
                 pres = _exact_icp(
                     full, self._tgt_dev,
                     jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
-                    self._icp_params,
+                    self._icp_params, normals=self._nrm_dev,
                 )
             else:
                 pres = _grid_icp(
                     full, self.grid, self._tgt_dev,
                     jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
-                    self._icp_params,
+                    self._icp_params, normals=self._nrm_dev,
                 )
             R_p = np.asarray(pres.transform.R)[0]
             t_p = np.asarray(pres.transform.t)[0]
@@ -618,9 +641,17 @@ class GoIcpSolver:
                 tgt_c = self.tgt[
                     np.sort(crng.choice(self.tgt.shape[0], nc, replace=False))
                 ]
+                nrm_c = (
+                    None
+                    if self._nrm_dev is None
+                    else estimate_normals(
+                        jnp.asarray(tgt_c), k=min(self.p.normals_k, nc)
+                    )
+                )
                 cres = _exact_icp(
                     jnp.asarray(src_c), jnp.asarray(tgt_c),
                     jnp.asarray(R0), jnp.asarray(t0), self._icp_params,
+                    normals=nrm_c,
                 )
                 c_sse = np.asarray(cres.sse)
                 m.count("icp_iters", int(np.asarray(cres.iters).sum()))

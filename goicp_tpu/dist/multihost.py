@@ -240,7 +240,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         _mesh = make_engine_mesh(
             p, self._backend, self.src, np.asarray(self.ev.norms),
             h=(self.ev.h if p.trim_fraction > 0 else 0),
-            icp_params=self._icp_params,
+            icp_params=self._icp_params_round,
             icp_backend=self._icp_backend,
             log=self.log,
             tag=f"[p{pid}/{P}] ",
@@ -313,7 +313,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 tile=p.point_tile,
                 tgt_tile=256,
                 refine_k=p.refine_top_k,
-                icp_params=self._icp_params,
+                icp_params=self._icp_params_round,
                 icp_backend=self._icp_backend,
             )
             return out, R_c
@@ -376,7 +376,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 tile=p.point_tile,
                 tgt_tile=256,
                 refine_k=p.refine_top_k,
-                icp_params=self._icp_params,
+                icp_params=self._icp_params_round,
                 icp_backend=self._icp_backend,
             )
             return out, np.repeat(R_g, 8, axis=0)

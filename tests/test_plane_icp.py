@@ -191,6 +191,32 @@ def test_plane_icp_trace_and_guards():
                        atol=5e-3)
 
 
+def test_goicp_solver_plane_multistart():
+    """icp_metric='plane' drives the multistart/polish ICP inside both BnB
+    engines; incumbents stay point-SSE-scored so the certificate holds."""
+    from goicp_tpu.bnb import BnbParams, make_solver
+
+    rng = np.random.default_rng(5)
+    tgt = _surface(18, 18)
+    idx = rng.choice(tgt.shape[0], 200, replace=False)
+    R_true = _rot([0.3, 0.2, 1.0], np.deg2rad(40.0))
+    t_true = np.array([0.1, -0.06, 0.08], np.float32)
+    src = ((tgt[idx] - t_true) @ R_true).astype(np.float32)
+
+    for engine in ("se3", "nested"):
+        res = make_solver(
+            src, tgt,
+            BnbParams(
+                mse_threshold=1e-4, grid_resolution=24, max_rounds=200,
+                engine=engine, icp_metric="plane", init_multistart=8,
+                init_coarse_n=64,
+            ),
+        ).run()
+        assert res.converged, engine
+        assert np.allclose(np.asarray(res.transform.R), R_true, atol=3e-2), engine
+        assert np.allclose(np.asarray(res.transform.t), t_true, atol=3e-2), engine
+
+
 def test_cli_icp_plane_metric(tmp_path):
     """[tpu] icp_metric = "plane" drives modes 0-2 through the plane
     objective end-to-end (config → normals → traced plane refiner)."""
