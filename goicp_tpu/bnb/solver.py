@@ -273,12 +273,20 @@ class BnbParams:
     icp_metric: str = "point"        # "point" (ref parity, icp3d.cu:140-172)
                                      # | "plane" (point-to-plane Gauss-Newton
                                      # — far fewer iterations on smooth scan
-                                     # geometry).  Consumed by the SERVING
-                                     # tracking path (serve.refine*) and the
-                                     # CLI ICP modes; the BnB engines' own
-                                     # incumbent refinement always descends
-                                     # the point-to-point objective (it IS
-                                     # the certified objective)
+                                     # geometry).  Drives the serving
+                                     # tracking path, the CLI ICP modes, and
+                                     # the solver's multistart / nested
+                                     # in-loop refine / full polish.  SOUND
+                                     # either way: run_icp reports the best
+                                     # POINT-SSE pose it visited, so
+                                     # incumbents and the ε-certificate are
+                                     # always point-objective-scored; only
+                                     # the descent direction changes.  Two
+                                     # paths keep point-to-point regardless:
+                                     # the SE(3) in-round refine tail and
+                                     # the lockstep multipair driver (no
+                                     # normals plumbing; neither is
+                                     # wall-dominant)
     normals_k: int = 16              # kNN size for PCA target normals
     icp_cap: int = 64                # max candidates refined per batched ICP
     conservative: bool = False       # True: deflate lbs by the grid
@@ -367,6 +375,7 @@ class GoIcpSolver:
         params: BnbParams = BnbParams(),
         progress: Optional[ProgressBus] = None,
         grid=None,
+        normals=None,
     ):
         self.src_full = np.asarray(src, np.float32)
         self.src = self.src_full
@@ -484,11 +493,16 @@ class GoIcpSolver:
         # incumbents are ALWAYS the point-SSE best pose (run_icp's reported
         # sse is point-to-point in both metrics), so BnB pruning and the
         # ε-certificate are metric-independent
-        self._nrm_dev = (
-            None
-            if params.icp_metric != "plane"
-            else estimate_normals(self._tgt_dev, k=params.normals_k)
-        )
+        # precomputed target normals (``normals=``) let a resident-target
+        # caller (serve.RegistrationService) pay the PCA pass once instead
+        # of per-query solver construction
+        self._nrm_dev = None
+        if params.icp_metric == "plane":
+            self._nrm_dev = (
+                jnp.asarray(normals, jnp.float32)
+                if normals is not None
+                else estimate_normals(self._tgt_dev, k=params.normals_k)
+            )
         # exact-backend numerical slack: the MXU |t|²−2t·p+|p|² expansion can
         # misstate d² by ~8·ε_f32·scale², i.e. d by up to √(8·ε)·scale —
         # deducted from certified lower bounds (conservative mode only;
@@ -943,6 +957,7 @@ def make_solver(
     progress: Optional[ProgressBus] = None,
     local: bool = False,
     grid=None,
+    normals=None,
 ) -> GoIcpSolver:
     """Engine dispatch: "se3" (flat product-space, default) or "nested".
 
@@ -958,11 +973,15 @@ def make_solver(
         if jax.process_count() > 1 and not local:
             from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
 
-            return GoIcpSolverMultiHost(src, tgt, params, progress, grid=grid)
+            return GoIcpSolverMultiHost(
+                src, tgt, params, progress, grid=grid, normals=normals
+            )
         from goicp_tpu.bnb.se3 import GoIcpSolverSE3
 
-        return GoIcpSolverSE3(src, tgt, params, progress, grid=grid)
-    return GoIcpSolver(src, tgt, params, progress, grid=grid)
+        return GoIcpSolverSE3(
+            src, tgt, params, progress, grid=grid, normals=normals
+        )
+    return GoIcpSolver(src, tgt, params, progress, grid=grid, normals=normals)
 
 
 def register(

@@ -352,6 +352,8 @@ def run_icp_trace(
     src = jnp.asarray(src, jnp.float32)
     tf = params.trim_fraction
     plane = params.metric == "plane"
+    if params.metric not in ("point", "plane"):
+        raise ValueError(f"unknown IcpParams.metric {params.metric!r}")
 
     def _w(d2):
         return trim_weights(d2, tf) if tf > 0.0 else None
@@ -368,6 +370,12 @@ def run_icp_trace(
             w = _w(d2)
             sse_cur = _sse(d2, w)
             if plane:
+                if nrm is None:
+                    raise ValueError(
+                        "metric='plane' needs a correspondence closure "
+                        "built with normals= (see exact_correspondence/"
+                        "grid_correspondence)"
+                    )
                 rr = jnp.sum((pts - dst) * nrm, axis=-1)
                 gate_cur = _sse(rr * rr, w)
             else:

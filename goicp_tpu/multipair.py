@@ -31,6 +31,7 @@ from goicp_tpu.bnb import BnbParams, GoIcpResult, make_solver
 # becomes a leaked tracer that corrupts later unrelated compilations
 from goicp_tpu.bnb.device_inner import _exact_min_d2
 from goicp_tpu.bnb.se3 import _trimmed_sum_bisect
+from goicp_tpu.core.logging import get_logger
 from goicp_tpu.core.metrics import Metrics
 from goicp_tpu.core.types import RigidTransform
 from goicp_tpu.geo.rotation import rotation_displacement
@@ -130,6 +131,14 @@ def register_pairs(
         and p.min_trans_span == 0.0
     )
     if lockstep_ok:
+        if p.icp_metric == "plane":
+            # not silent: poses are identical either way (incumbents are
+            # point-SSE-scored everywhere), but the plane-accelerated
+            # multistart only exists on the per-pair solver path
+            get_logger().warning(
+                "lockstep multipair refines point-to-point; icp_metric="
+                "'plane' accelerates only solo solves (make_solver)"
+            )
         return _register_pairs_lockstep(pairs, p, mesh=mesh)
     return [
         make_solver(s, t, params, local=local, grid=solver_grid).run()
@@ -262,6 +271,11 @@ def _register_pairs_lockstep(
     icp_params = IcpParams(
         max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol,
         trim_fraction=p.trim_fraction,
+        # the lockstep driver keeps point-to-point refinement regardless of
+        # p.icp_metric: per-pair target normals would need [B,N,3] plumbing
+        # through every fused dispatch — wire it only if a measured lockstep
+        # workload is multistart-ICP-bound (solo solves via make_solver DO
+        # honor icp_metric="plane")
     )
     from goicp_tpu.geo.rotation import random_rotations
 

@@ -129,6 +129,14 @@ class RegistrationService:
         bad = set(overrides) - set(_PARAM_KEYS)
         if bad:
             raise ValueError(f"unknown/forbidden param override(s): {sorted(bad)}")
+        # fail fast on client-supplied enum values: a bad string otherwise
+        # only errors deep inside the jitted refine trace AND leaves a dead
+        # entry in _icp_cache keyed on it (client-controlled growth on TCP)
+        if overrides.get("icp_metric", "point") not in ("point", "plane"):
+            raise ValueError(
+                f"icp_metric must be 'point' or 'plane', "
+                f"got {overrides['icp_metric']!r}"
+            )
         return dataclasses.replace(self.params, **overrides)
 
     def register(
@@ -143,7 +151,10 @@ class RegistrationService:
         p = self._params(overrides)
         with self._lock:
             self.queries += 1
-            return make_solver(src, self.tgt, p, grid=self.grid).run(init)
+            return make_solver(
+                src, self.tgt, p, grid=self.grid,
+                normals=self._normals(p),
+            ).run(init)
 
     def register_batch(
         self, sources: Sequence[np.ndarray], **overrides
@@ -160,11 +171,36 @@ class RegistrationService:
             self.queries += len(sources)
             if len(sources) == 1:
                 return [
-                    make_solver(sources[0], self.tgt, p, grid=self.grid).run()
+                    make_solver(
+                        sources[0], self.tgt, p, grid=self.grid,
+                        normals=self._normals(p),
+                    ).run()
                 ]
+            # NOTE: the lockstep driver refines point-to-point regardless of
+            # icp_metric (see multipair.py) — metric-sensitive clients get
+            # identical POSES (incumbents are point-SSE-scored everywhere)
+            # but plane-accelerated multistart only on the solo path
             return register_pairs(
                 [(s, self.tgt) for s in sources], p, solver_grid=self.grid
             )
+
+    def _normals(self, p: BnbParams):
+        """Resident target normals for plane-metric refinement, computed
+        once per ``normals_k`` and reused by every query (solver
+        construction takes them via ``make_solver(..., normals=)``)."""
+        if p.icp_metric != "plane":
+            return None
+        normals = self._nrm_dev.get(p.normals_k)
+        if normals is None:
+            import jax.numpy as jnp
+
+            from goicp_tpu.geo.normals import estimate_normals
+
+            if self._tgt_dev is None:
+                self._tgt_dev = jnp.asarray(self.tgt)
+            normals = estimate_normals(self._tgt_dev, k=p.normals_k)
+            self._nrm_dev[p.normals_k] = normals
+        return normals
 
     def _icp_setup(self, p: BnbParams):
         """(IcpParams, correspondence closure) for the tracking path —
@@ -188,14 +224,7 @@ class RegistrationService:
 
         if self._tgt_dev is None:
             self._tgt_dev = jnp.asarray(self.tgt)
-        normals = None
-        if p.icp_metric == "plane":
-            normals = self._nrm_dev.get(p.normals_k)
-            if normals is None:
-                from goicp_tpu.geo.normals import estimate_normals
-
-                normals = estimate_normals(self._tgt_dev, k=p.normals_k)
-                self._nrm_dev[p.normals_k] = normals
+        normals = self._normals(p)
         ip = IcpParams(
             max_iter=p.icp_max_iter,
             rel_tol=min(p.icp_rel_tol, p.mse_threshold),

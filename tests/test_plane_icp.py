@@ -190,6 +190,45 @@ def test_plane_icp_trace_and_guards():
     assert np.allclose(np.asarray(res_pt.transform.t), [-0.03, 0.02, -0.01],
                        atol=5e-3)
 
+    # the traced runner carries the same guards as run_icp
+    with pytest.raises(ValueError, match="normals"):
+        run_icp_trace(
+            src, exact_correspondence(tgt), RigidTransform.identity(),
+            IcpParams(max_iter=5, metric="plane"),
+        )
+    with pytest.raises(ValueError, match="metric"):
+        run_icp_trace(
+            src, exact_correspondence(tgt), RigidTransform.identity(),
+            IcpParams(max_iter=5, metric="plan"),
+        )
+
+
+def test_serve_plane_validation_and_normals_reuse():
+    """Bad icp_metric strings fail fast at the param boundary (no poisoned
+    refine cache); goicp-mode solves reuse the service's resident normals."""
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.serve import RegistrationService
+
+    tgt = _surface(24, 24)
+    svc = RegistrationService(
+        tgt,
+        BnbParams(mse_threshold=1e-4, grid_resolution=24, max_rounds=60,
+                  icp_metric="plane", init_multistart=4),
+        name="sheet2",
+    )
+    src = _surface(20, 20, ox=0.01).astype(np.float32)
+    with pytest.raises(ValueError, match="icp_metric"):
+        svc.refine(src, None, icp_metric="Plane")
+    assert not svc._icp_cache  # the bad string never reached the cache
+
+    # plane-default register(): normals computed once, then reused
+    r1 = svc.register(src)
+    assert 16 in svc._nrm_dev
+    marker = svc._nrm_dev[16]
+    r2 = svc.register(src)
+    assert svc._nrm_dev[16] is marker  # same resident array, not recomputed
+    assert r1.converged and r2.converged
+
 
 def test_goicp_solver_plane_multistart():
     """icp_metric='plane' drives the multistart/polish ICP inside both BnB
