@@ -20,7 +20,10 @@ enable_persistent_cache()   # 20-40 s TPU compiles cache across runs
 src = load_cloud("data/bunny/data_bunny.txt", subsample=0.1, seed=0)
 tgt = load_cloud("data/bunny/model_bunny.txt", subsample=0.1, seed=0)
 
-res = register(src, tgt, BnbParams(mse_threshold=1e-3))
+# icp_metric="plane": point-to-plane multistart/polish (PCA normals on
+# device) — measured 2-3x faster scenario walls on real scans; incumbents
+# and the certificate stay point-SSE-scored either way
+res = register(src, tgt, BnbParams(mse_threshold=1e-3, icp_metric="plane"))
 
 print("converged:", res.converged, " mse:", res.mse, " gap:", res.gap)
 print("R =\n", np.asarray(res.transform.R))
