@@ -428,21 +428,13 @@ class GoIcpSolverSE3(GoIcpSolver):
         beta = max(p.split_beta, 1e-6)
 
         def classify(pay):
-            """Next split type per node, from payload alone: rotation octant,
-            translation octant, or leaf.  ``split_beta > 1`` biases toward
-            translation splits (grouped rounds are ~3× cheaper per node on
-            the fused kernel)."""
-            r_s, t_s = pay[:, 3], pay[:, 7]
-            g_rot = 2.0 * np.sin(
-                np.minimum(_SQRT3 * r_s, np.pi) / 2.0
-            ) * mean_norm
-            g_tr = _SQRT3 * t_s
-            can_rot = r_s / 2.0 >= rot_floor
-            split_rot = (
-                (g_rot >= beta * g_tr) | (t_s / 2.0 < trans_floor)
-            ) & can_rot
-            is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
-            return split_rot, is_leaf
+            """Next split type per node (the shared rule, ``bnb.split``)."""
+            from goicp_tpu.bnb.split import classify_split
+
+            return classify_split(
+                pay, mean_norm, self.rotparam, beta=beta,
+                rot_floor=rot_floor, trans_floor=trans_floor,
+            )
 
         # TWO frontiers, partitioned by next-split type so every device
         # round is homogeneous: R-rounds run the singleton kernel, T-rounds

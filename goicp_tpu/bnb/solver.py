@@ -377,6 +377,14 @@ class GoIcpSolver:
         grid=None,
         normals=None,
     ):
+        if params.icp_metric not in ("point", "plane"):
+            # fail fast: a bad string from TOML/BnbParams otherwise only
+            # errors deep inside the first jitted ICP trace, and silently
+            # skips normal estimation on the way there (ADVICE r3)
+            raise ValueError(
+                f"icp_metric must be 'point' or 'plane', "
+                f"got {params.icp_metric!r}"
+            )
         self.src_full = np.asarray(src, np.float32)
         self.src = self.src_full
         self.tgt = np.asarray(tgt, np.float32)
@@ -652,15 +660,18 @@ class GoIcpSolver:
                 src_c = self.src[
                     np.sort(crng.choice(self.src.shape[0], nc, replace=False))
                 ]
-                tgt_c = self.tgt[
-                    np.sort(crng.choice(self.tgt.shape[0], nc, replace=False))
-                ]
+                tidx = np.sort(
+                    crng.choice(self.tgt.shape[0], nc, replace=False)
+                )
+                tgt_c = self.tgt[tidx]
+                # index the FULL-cloud normals at the subset rows: cheaper
+                # than re-running kNN+PCA on the thinned cloud every solve,
+                # and strictly more accurate (subset-estimated normals see
+                # ~nc/Nt of the local surface) — ADVICE r3
                 nrm_c = (
                     None
                     if self._nrm_dev is None
-                    else estimate_normals(
-                        jnp.asarray(tgt_c), k=min(self.p.normals_k, nc)
-                    )
+                    else jnp.take(self._nrm_dev, jnp.asarray(tidx), axis=0)
                 )
                 cres = _exact_icp(
                     jnp.asarray(src_c), jnp.asarray(tgt_c),

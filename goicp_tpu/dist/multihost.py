@@ -106,18 +106,15 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         beta = max(p.split_beta, 1e-6)
 
         def classify(pay):
-            r_s, t_s = pay[:, 3], pay[:, 7]
-            g_rot = 2.0 * np.sin(
-                np.minimum(_SQRT3 * r_s, np.pi) / 2.0
-            ) * mean_norm
-            g_tr = _SQRT3 * t_s
-            can_rot = r_s / 2.0 >= rot_floor
-            # same biased split rule as bnb/se3.py (split_beta > 1 favors
-            # the ~3x-cheaper grouped T-splits)
-            split_rot = (g_rot >= beta * g_tr) | (t_s / 2.0 < trans_floor)
-            split_rot &= can_rot
-            is_leaf = (~can_rot) & (t_s / 2.0 < trans_floor)
-            return split_rot, is_leaf
+            # the ONE shared split rule (bnb.split) — identical across the
+            # single-host engine, this multi-host engine, and the lockstep
+            # multipair driver
+            from goicp_tpu.bnb.split import classify_split
+
+            return classify_split(
+                pay, mean_norm, self.rotparam, beta=beta,
+                rot_floor=rot_floor, trans_floor=trans_floor,
+            )
 
         # TWO frontiers partitioned by next-split type (same design as the
         # single-host engine): every round is HOMOGENEOUS — T-rounds run the

@@ -314,12 +314,16 @@ def _register_pairs_lockstep(
     beta = max(p.split_beta, 1e-6)
 
     def classify(b, pay):
-        ang = rotparam.max_angle(pay[:, 0:3], pay[:, 3])
-        t_s = pay[:, 7]
-        g_rot = 2.0 * np.sin(np.minimum(ang, np.pi) / 2.0) * mean_norm[b]
-        g_tr = _SQRT3 * t_s
-        # same biased split rule as bnb/se3.py (split_beta honored)
-        return g_rot >= beta * g_tr               # split rotation else trans
+        # the ONE shared split rule (bnb.split); the lockstep gate forces
+        # min_rot_span == min_trans_span == 0, so the floors reduce to the
+        # engines' implicit 1e-5 translation resolution and is_leaf=False
+        from goicp_tpu.bnb.split import classify_split
+
+        split_rot, _ = classify_split(
+            pay, mean_norm[b], rotparam, beta=beta,
+            rot_floor=0.0, trans_floor=1e-5,
+        )
+        return split_rot               # split rotation else trans
 
     fronts = [make_frontier(8) for _ in range(P)]
     for b in range(P):
