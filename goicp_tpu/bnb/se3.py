@@ -298,7 +298,7 @@ def evaluate_se3_nodes_screened(
     ),
 )
 def se3_round(
-    src, norms, grid, tgt, slack, thresh,
+    src, norms, grid, tgt, tgt_normals, slack, thresh,
     R, max_angle, t_c, t_span, mask,
     *,
     h: int,
@@ -316,8 +316,11 @@ def se3_round(
 
     ``thresh`` = incumbent − ε at dispatch time: the screened kernel prunes
     nodes from partial lower-bound sums (backend "screen"); other backends
-    ignore it.  Returns ``(ub, lb, R_ref, t_ref, sse_ref)`` where the last
-    three are the ICP-refined poses of the ``refine_k`` best-ub nodes.
+    ignore it.  ``tgt_normals [Nt,3]`` (or None) feed the refine tail when
+    ``icp_params.metric == "plane"`` — bounds stay point-metric either way
+    (the ε-certificate is a point-SSE statement).  Returns ``(ub, lb,
+    R_ref, t_ref, sse_ref)`` where the last three are the ICP-refined poses
+    of the ``refine_k`` best-ub nodes.
     """
     if backend == "screen":
         ub, lb = evaluate_se3_nodes_screened(
@@ -334,22 +337,28 @@ def se3_round(
             h=h, lookup=lookup, backend=backend, tile=tile, tgt_tile=tgt_tile,
         )
     return _refine_tail(
-        ub, lb, R, t_c, src, grid, tgt, refine_k, icp_params, icp_backend
+        ub, lb, R, t_c, src, grid, tgt, tgt_normals, refine_k, icp_params,
+        icp_backend,
     )
 
 
-def _refine_tail(ub, lb, R, t_c, src, grid, tgt, refine_k, icp_params,
-                 icp_backend):
-    """Shared round tail: batched ICP on the ``refine_k`` best-ub nodes."""
+def _refine_tail(ub, lb, R, t_c, src, grid, tgt, tgt_normals, refine_k,
+                 icp_params, icp_backend):
+    """Shared round tail: batched ICP on the ``refine_k`` best-ub nodes.
+
+    ``tgt_normals`` (or None) make the in-round refinement plane-metric-
+    capable (≙ the refiner it upgrades, ``icp3d.cu:140-172``); the reported
+    sse stays point-to-point (run_icp contract), so incumbents and the
+    ε-certificate are metric-independent."""
     from goicp_tpu.icp import exact_correspondence, grid_correspondence, run_icp
 
     _, top = jax.lax.top_k(-ub, refine_k)
     R0 = jnp.take(R, top, axis=0)
     t0 = jnp.take(t_c, top, axis=0)
     corr = (
-        exact_correspondence(tgt)
+        exact_correspondence(tgt, normals=tgt_normals)
         if icp_backend == "exact"
-        else grid_correspondence(grid, tgt)
+        else grid_correspondence(grid, tgt, normals=tgt_normals)
     )
     res = run_icp(src, corr, RigidTransform(R0, t0), icp_params)
     return ub, lb, res.transform.R, res.transform.t, res.sse, res.iters
@@ -363,7 +372,7 @@ def _refine_tail(ub, lb, R, t_c, src, grid, tgt, refine_k, icp_params,
     ),
 )
 def se3_round_grouped(
-    src, norms, grid, tgt, slack, thresh,
+    src, norms, grid, tgt, tgt_normals, slack, thresh,
     R, max_angle, t8, t_span8, mask,
     *,
     h: int,
@@ -399,8 +408,8 @@ def se3_round_grouped(
             h=h, lookup=lookup, backend=backend, tile=tile, tgt_tile=tgt_tile,
         )
     return _refine_tail(
-        ub, lb, R_flat, t_flat, src, grid, tgt, refine_k, icp_params,
-        icp_backend,
+        ub, lb, R_flat, t_flat, src, grid, tgt, tgt_normals, refine_k,
+        icp_params, icp_backend,
     )
 
 
@@ -497,7 +506,7 @@ class GoIcpSolverSE3(GoIcpSolver):
         _mesh = make_engine_mesh(
             p, self._backend, self.src, np.asarray(self.ev.norms),
             h=(self.ev.h if p.trim_fraction > 0 else 0),
-            icp_params=self._icp_params_round,
+            icp_params=self._icp_params_round_mesh,
             icp_backend=self._icp_backend,
             log=self.log,
         )
@@ -650,6 +659,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                     self.ev.norms,
                     self.grid,
                     self._tgt_dev,
+                    self._nrm_dev,
                     jnp.float32(
                         self._exact_slack
                         if self._backend in ("exact", "mxu", "screen")
@@ -782,6 +792,7 @@ class GoIcpSolverSE3(GoIcpSolver):
                 self.ev.norms,
                 self.grid,
                 self._tgt_dev,
+                self._nrm_dev,
                 jnp.float32(
                     self._exact_slack
                     if self._backend in ("exact", "mxu", "screen")

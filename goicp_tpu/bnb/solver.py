@@ -281,12 +281,13 @@ class BnbParams:
                                      # POINT-SSE pose it visited, so
                                      # incumbents and the ε-certificate are
                                      # always point-objective-scored; only
-                                     # the descent direction changes.  Two
-                                     # paths keep point-to-point regardless:
-                                     # the SE(3) in-round refine tail and
-                                     # the lockstep multipair driver (no
-                                     # normals plumbing; neither is
-                                     # wall-dominant)
+                                     # the descent direction changes.  Rides
+                                     # every fused path (SE(3)/multi-host
+                                     # in-round refines, lockstep multipair,
+                                     # serving batch lane); only the mesh-
+                                     # sharded round (dist/se3.py) keeps
+                                     # point-to-point (no normals plumbing
+                                     # through the shard_map)
     normals_k: int = 16              # kNN size for PCA target normals
     icp_cap: int = 64                # max candidates refined per batched ICP
     conservative: bool = False       # True: deflate lbs by the grid
@@ -488,11 +489,13 @@ class GoIcpSolver:
             trim_fraction=params.trim_fraction,
             metric=params.icp_metric,
         )
-        # the SE(3) engine's IN-ROUND refine tail (se3.py:_refine_tail) has
-        # no normals plumbing — it always refines point-to-point; the plane
-        # metric applies to the multistart initial ICP and the full polish,
-        # which dominate the scenario walls (BnB rarely engages there)
-        self._icp_params_round = dataclasses.replace(
+        # the SE(3)/multi-host IN-ROUND refine tail (se3.py:_refine_tail)
+        # takes target normals, so it honors icp_metric="plane"; only the
+        # mesh-sharded round (dist/se3.py shard_map, no normals plumbing)
+        # keeps point-to-point — both refine directions are sound (run_icp
+        # reports the best point-SSE pose either way)
+        self._icp_params_round = self._icp_params
+        self._icp_params_round_mesh = dataclasses.replace(
             self._icp_params, metric="point"
         )
         self._src_dev = jnp.asarray(self.src)

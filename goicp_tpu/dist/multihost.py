@@ -237,7 +237,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         _mesh = make_engine_mesh(
             p, self._backend, self.src, np.asarray(self.ev.norms),
             h=(self.ev.h if p.trim_fraction > 0 else 0),
-            icp_params=self._icp_params_round,
+            icp_params=self._icp_params_round_mesh,
             icp_backend=self._icp_backend,
             log=self.log,
             tag=f"[p{pid}/{P}] ",
@@ -297,6 +297,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 self.ev.norms,
                 self.grid,
                 self._tgt_dev,
+                self._nrm_dev,
                 _slack,
                 thresh,
                 R_pad,
@@ -360,6 +361,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 self.ev.norms,
                 self.grid,
                 self._tgt_dev,
+                self._nrm_dev,
                 _slack,
                 thresh,
                 jnp.asarray(R_pad),

@@ -39,17 +39,51 @@ from goicp_tpu.icp import IcpParams, run_icp
 from goicp_tpu.nn.brute import nearest_neighbor
 
 
+def _pad_pair_normals(normals, pairs, n_tgt: int) -> Optional[np.ndarray]:
+    """Per-pair target normals ``[B, n_tgt, 3]`` from a flexible spec:
+    None, ONE shared ``[Nt,3]`` array (the serving shape — every pair sees
+    the same resident target), or a per-pair sequence.  Padded rows get a
+    unit dummy (sentinel targets never win a NN race, so it is never
+    read)."""
+    if normals is None:
+        return None
+    B = len(pairs)
+    out = np.zeros((B, n_tgt, 3), np.float32)
+    out[:, :, 2] = 1.0
+    if isinstance(normals, (list, tuple)):
+        if len(normals) != B:
+            raise ValueError(
+                f"need one normals array per pair: {len(normals)} != {B}"
+            )
+        for b, nb in enumerate(normals):
+            nb = np.asarray(nb, np.float32)
+            out[b, : nb.shape[0]] = nb
+    else:
+        nb = np.asarray(normals, np.float32)
+        for b, (_, t) in enumerate(pairs):
+            if nb.shape[0] < t.shape[0]:
+                raise ValueError(
+                    f"shared normals cover {nb.shape[0]} target points; "
+                    f"pair {b} has {t.shape[0]}"
+                )
+            out[b, : t.shape[0]] = nb[: t.shape[0]]
+    return out
+
+
 def icp_pairs(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     inits: Optional[RigidTransform] = None,
     params: IcpParams = IcpParams(),
+    normals=None,
 ):
     """Refine one pose per pair, all pairs in one jitted call.
 
     Clouds are zero-padded to the max source size / sentinel-padded to the
     max target size (sentinels at +1e15 never win a nearest-neighbor race,
-    and padded source points are weighted out).  Returns ``(transforms [B],
-    sse [B], iters [B])`` with per-pair trimming of the padding built in.
+    and padded source points are weighted out).  ``normals``: target
+    normals for ``params.metric == "plane"`` (see :func:`_pad_pair_normals`
+    for accepted shapes).  Returns ``(transforms [B], sse [B], iters [B])``
+    with per-pair trimming of the padding built in.
     """
     B = len(pairs)
     if B == 0:
@@ -64,27 +98,41 @@ def icp_pairs(
         srcs[b, : s.shape[0]] = s
         w[b, : s.shape[0]] = 1.0
         tgts[b, : t.shape[0]] = t
+    nrm = _pad_pair_normals(normals, pairs, n_tgt)
     T0 = inits if inits is not None else RigidTransform.identity((B,))
     return _icp_pairs_jit(
-        jnp.asarray(srcs), jnp.asarray(tgts), jnp.asarray(w), T0, params
+        jnp.asarray(srcs), jnp.asarray(tgts), jnp.asarray(w), T0, params,
+        None if nrm is None else jnp.asarray(nrm),
     )
 
 
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _icp_pairs_jit(srcs, tgts, w, T0, params: IcpParams):
-    def one(src, tgt, wts, T):
-        def corr(pts):
-            d2, idx = nearest_neighbor(pts, tgt)
-            return jnp.take(tgt, idx, axis=0), d2
+def _pair_corr(tgt, nrm):
+    """Correspondence closure for ONE pair's (padded) target; returns the
+    plane-metric triple when per-pair normals ride along."""
 
+    def corr(pts):
+        d2, idx = nearest_neighbor(pts, tgt)
+        dst = jnp.take(tgt, idx, axis=0)
+        if nrm is None:
+            return dst, d2
+        return dst, jnp.take(nrm, idx, axis=0), d2
+
+    return corr
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _icp_pairs_jit(srcs, tgts, w, T0, params: IcpParams, nrms=None):
+    def one(src, tgt, wts, T, nrm=None):
         # padded source rows carry weight 0 through Procrustes AND the SSE
-        res = run_icp(src, corr, T, params, point_weights=wts)
+        res = run_icp(src, _pair_corr(tgt, nrm), T, params, point_weights=wts)
         return res.transform, res.sse, res.iters
 
-    return jax.vmap(one)(srcs, tgts, w, T0)
+    if nrms is None:
+        return jax.vmap(one)(srcs, tgts, w, T0)
+    return jax.vmap(one)(srcs, tgts, w, T0, nrms)
 
 
 def register_pairs(
@@ -94,6 +142,8 @@ def register_pairs(
     mesh=None,
     local: bool = False,
     solver_grid=None,
+    tgt_normals=None,
+    inits: Optional[Sequence[Optional[RigidTransform]]] = None,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair.
 
@@ -115,6 +165,16 @@ def register_pairs(
     ``solver_grid``: a prebuilt :class:`~goicp_tpu.nn.grid.DistanceGrid` for
     the shared target — only valid when every pair has the SAME target
     (the serving shape); reused by the fallback per-pair solvers.
+
+    ``tgt_normals``: target normals for ``params.icp_metric == "plane"``
+    (one shared ``[Nt,3]`` array or a per-pair list; None = estimate per
+    unique target).  The lockstep driver refines plane-metric end-to-end
+    (multistart + in-round refines — ≙ the refiner it upgrades,
+    ``icp3d.cu:140-172``); certification/scoring stays point-SSE.
+
+    ``inits``: optional per-pair prior poses (re-localization seeds, ≙ the
+    initial pose of ``fgoicp.cpp:11-18`` batched): each pair's prior is
+    pinned as an extra multistart seed — the solve stays globally optimal.
     """
     p = params
     lockstep_ok = (
@@ -131,18 +191,20 @@ def register_pairs(
         and p.min_trans_span == 0.0
     )
     if lockstep_ok:
-        if p.icp_metric == "plane":
-            # not silent: poses are identical either way (incumbents are
-            # point-SSE-scored everywhere), but the plane-accelerated
-            # multistart only exists on the per-pair solver path
-            get_logger().warning(
-                "lockstep multipair refines point-to-point; icp_metric="
-                "'plane' accelerates only solo solves (make_solver)"
-            )
-        return _register_pairs_lockstep(pairs, p, mesh=mesh)
+        return _register_pairs_lockstep(
+            pairs, p, mesh=mesh, tgt_normals=tgt_normals, inits=inits
+        )
+    def _nrm(i):
+        if tgt_normals is None or p.icp_metric != "plane":
+            return None
+        if isinstance(tgt_normals, (list, tuple)):
+            return tgt_normals[i]
+        return tgt_normals
     return [
-        make_solver(s, t, params, local=local, grid=solver_grid).run()
-        for s, t in pairs
+        make_solver(
+            s, t, params, local=local, grid=solver_grid, normals=_nrm(i)
+        ).run(None if inits is None else inits[i])
+        for i, (s, t) in enumerate(pairs)
     ]
 
 
@@ -198,42 +260,47 @@ def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask, h,
 @functools.partial(
     jax.jit, static_argnames=("refine_k", "icp_params", "trim")
 )
-def _pairs_round(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h, *,
-                 refine_k: int, icp_params, trim: bool = False):
+def _pairs_round(srcs, wts, norms, tgts, tnrm, slack, R, ang, t_c, t_s, mask,
+                 h, *, refine_k: int, icp_params, trim: bool = False):
     """ONE device dispatch advancing every pair: bound evaluation for all
     ``[P, M]`` jobs + top-k batched ICP refinement per pair (the lockstep
     form of ``bnb.se3.se3_round``).  ``h [P]``: per-pair inlier counts
-    (trimmed sums when ``trim``)."""
+    (trimmed sums when ``trim``); ``tnrm [P,Nt,3]`` (or None): per-pair
+    target normals — the refine tail descends the plane metric when
+    ``icp_params.metric == "plane"`` while bounds/incumbents stay
+    point-SSE (the run_icp contract)."""
     from goicp_tpu.icp import run_icp
-    from goicp_tpu.nn.brute import nearest_neighbor
 
     ub, lb = jax.vmap(
         functools.partial(_bounds_one_pair, trim=trim),
         in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0),
     )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h)
 
-    def refine_one(src, w, tgt, ub_p, R_p, t_p):
+    def refine_one(src, w, tgt, ub_p, R_p, t_p, nrm=None):
         _, top = jax.lax.top_k(-ub_p, refine_k)
         R0 = jnp.take(R_p, top, axis=0)
         t0 = jnp.take(t_p, top, axis=0)
-
-        def corr(pts):
-            d2, idx = nearest_neighbor(pts, tgt)
-            return jnp.take(tgt, idx, axis=0), d2
-
         res = run_icp(
-            src, corr, RigidTransform(R0, t0), icp_params, point_weights=w
+            src, _pair_corr(tgt, nrm), RigidTransform(R0, t0), icp_params,
+            point_weights=w,
         )
         return res.transform.R, res.transform.t, res.sse, res.iters
 
-    R_ref, t_ref, sse_ref, it_ref = jax.vmap(refine_one)(
-        srcs, wts, tgts, ub, R, t_c
-    )
+    if tnrm is None:
+        R_ref, t_ref, sse_ref, it_ref = jax.vmap(refine_one)(
+            srcs, wts, tgts, ub, R, t_c
+        )
+    else:
+        R_ref, t_ref, sse_ref, it_ref = jax.vmap(refine_one)(
+            srcs, wts, tgts, ub, R, t_c, tnrm
+        )
     return ub, lb, R_ref, t_ref, sse_ref, it_ref
 
 
 def _register_pairs_lockstep(
-    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], p: BnbParams, mesh=None
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]], p: BnbParams, mesh=None,
+    tgt_normals=None,
+    inits: Optional[Sequence[Optional[RigidTransform]]] = None,
 ) -> List[GoIcpResult]:
     import time
 
@@ -267,19 +334,37 @@ def _register_pairs_lockstep(
     # batched MULTI-START initial ICP: every (pair × seed) refines in one
     # dispatch (the lockstep form of GoIcpSolver._initial_icp; ≙ the single
     # identity start of fgoicp.cpp:11-18).  One step usually lands each
-    # pair in its global basin, which the BnB then certifies.
+    # pair in its global basin, which the BnB then certifies.  The metric
+    # rides through: plane-metric pairs refine plane end-to-end here and in
+    # every in-round refine (certification stays point-SSE — run_icp
+    # contract), so serve.register_batch keeps the plane win.
     icp_params = IcpParams(
         max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol,
-        trim_fraction=p.trim_fraction,
-        # the lockstep driver keeps point-to-point refinement regardless of
-        # p.icp_metric: per-pair target normals would need [B,N,3] plumbing
-        # through every fused dispatch — wire it only if a measured lockstep
-        # workload is multistart-ICP-bound (solo solves via make_solver DO
-        # honor icp_metric="plane")
+        trim_fraction=p.trim_fraction, metric=p.icp_metric,
     )
+    nrm_pad = None
+    if p.icp_metric == "plane":
+        from goicp_tpu.geo.normals import estimate_normals
+
+        if tgt_normals is None:
+            # estimate once per UNIQUE target object (the serving shape
+            # passes one resident array P times — pay one PCA pass)
+            uniq: dict[int, np.ndarray] = {}
+            per = []
+            for _, t in pairs:
+                key = id(t)
+                if key not in uniq:
+                    uniq[key] = np.asarray(
+                        estimate_normals(jnp.asarray(t), k=p.normals_k),
+                        np.float32,
+                    )
+                per.append(uniq[key])
+            tgt_normals = per
+        nrm_pad = _pad_pair_normals(tgt_normals, pairs, Nt)
     from goicp_tpu.geo.rotation import random_rotations
 
-    K = max(1, min(p.init_multistart, 32))
+    has_inits = inits is not None and any(T is not None for T in inits)
+    K = max(2 if has_inits else 1, min(p.init_multistart, 32))
     seeds = np.concatenate(
         [
             np.eye(3, dtype=np.float32)[None],
@@ -287,6 +372,10 @@ def _register_pairs_lockstep(
         ]
     )                                                      # [K,3,3]
     rep_pairs = [pairs[b] for b in range(P) for _ in range(K)]
+    rep_nrm = (
+        None if nrm_pad is None
+        else [nrm_pad[b] for b in range(P) for _ in range(K)]
+    )
     R0 = np.tile(seeds, (P, 1, 1))                         # [P·K,3,3]
     t0 = np.zeros((P * K, 3), np.float32)
     for b, (s, t) in enumerate(pairs):
@@ -295,9 +384,16 @@ def _register_pairs_lockstep(
             "bij,j->bi", R0[b * K : (b + 1) * K], mu_s
         )
         t0[b * K] = 0.0       # keep the reference's identity start exact
+        if inits is not None and inits[b] is not None:
+            # per-pair prior (re-localization seed) pinned in slot 1, the
+            # lockstep form of GoIcpSolver._initial_icp's caller seed
+            # (≙ fgoicp.cpp:11-18 batched); still globally optimal — the
+            # BnB certifies whatever basin any seed lands in
+            R0[b * K + 1] = np.asarray(inits[b].R, np.float32)
+            t0[b * K + 1] = np.asarray(inits[b].t, np.float32)
     T0, sse0, _ = icp_pairs(
         rep_pairs, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
-        params=icp_params,
+        params=icp_params, normals=rep_nrm,
     )
     sse0 = np.asarray(sse0, np.float64).reshape(P, K)
     jbest = np.argmin(sse0, axis=1)
@@ -375,6 +471,7 @@ def _register_pairs_lockstep(
     else:
         place = jnp.asarray
     srcs_d, wts_d, norms_d, tgts_d = map(place, (srcs, wts, norms, tgts))
+    tnrm_d = None if nrm_pad is None else place(nrm_pad)
 
     while True:
         active = [
@@ -417,7 +514,7 @@ def _register_pairs_lockstep(
             mask_all[b, :C] = True
 
         out = _pairs_round(
-            srcs_d, wts_d, norms_d, tgts_d, jnp.float32(slack),
+            srcs_d, wts_d, norms_d, tgts_d, tnrm_d, jnp.float32(slack),
             place(R_all), place(ang_all), place(t_all),
             place(ts_all), place(mask_all), place(h.astype(np.float32)),
             refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
@@ -481,6 +578,8 @@ def register_pairs_distributed(
     params: BnbParams = BnbParams(),
     batched: bool = True,
     mesh=None,
+    tgt_normals=None,
+    inits: Optional[Sequence[Optional[RigidTransform]]] = None,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair, pairs sharded across
     ``jax.process_count()`` processes (the between-hosts axis of the
@@ -497,7 +596,10 @@ def register_pairs_distributed(
     """
     P = jax.process_count()
     if P <= 1:
-        return register_pairs(pairs, params, batched=batched, mesh=mesh)
+        return register_pairs(
+            pairs, params, batched=batched, mesh=mesh,
+            tgt_normals=tgt_normals, inits=inits,
+        )
 
     from jax.experimental import multihost_utils
 
@@ -513,6 +615,12 @@ def register_pairs_distributed(
             # an optional LOCAL pair-axis mesh (build it over
             # jax.local_devices(); a global mesh would not be collective-free)
             mesh=mesh,
+            tgt_normals=(
+                [tgt_normals[i] for i in mine]
+                if isinstance(tgt_normals, (list, tuple))
+                else tgt_normals
+            ),
+            inits=None if inits is None else [inits[i] for i in mine],
         )
         if mine
         else []

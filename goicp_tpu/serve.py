@@ -157,11 +157,17 @@ class RegistrationService:
             ).run(init)
 
     def register_batch(
-        self, sources: Sequence[np.ndarray], **overrides
+        self,
+        sources: Sequence[np.ndarray],
+        inits: Optional[Sequence[Optional[RigidTransform]]] = None,
+        **overrides,
     ) -> List[GoIcpResult]:
         """Micro-batched solve: all queries advance in lockstep — one fused
         device dispatch per BnB round (``multipair.register_pairs`` against
-        the shared target)."""
+        the shared target).  ``icp_metric="plane"`` rides the lockstep
+        end-to-end (resident normals, paid once); ``inits`` are per-query
+        re-localization priors, pinned as multistart seeds per pair — the
+        solves stay globally optimal."""
         from goicp_tpu.multipair import register_pairs
 
         if not sources:
@@ -174,14 +180,11 @@ class RegistrationService:
                     make_solver(
                         sources[0], self.tgt, p, grid=self.grid,
                         normals=self._normals(p),
-                    ).run()
+                    ).run(None if inits is None else inits[0])
                 ]
-            # NOTE: the lockstep driver refines point-to-point regardless of
-            # icp_metric (see multipair.py) — metric-sensitive clients get
-            # identical POSES (incumbents are point-SSE-scored everywhere)
-            # but plane-accelerated multistart only on the solo path
             return register_pairs(
-                [(s, self.tgt) for s in sources], p, solver_grid=self.grid
+                [(s, self.tgt) for s in sources], p, solver_grid=self.grid,
+                tgt_normals=self._normals(p), inits=inits,
             )
 
     def _normals(self, p: BnbParams):
@@ -553,10 +556,9 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
             # can't join a lockstep lane (everything in a lane shares one
             # dispatch), so override-bearing items answer solo with their
             # merged overrides — the same contract as the TCP Batcher.
-            # Lanes: icp-mode queries share one vmapped refine dispatch
-            # (inits allowed); init-free goicp queries share the lockstep
-            # BnB; goicp-with-init answers solo (the lockstep driver has no
-            # per-pair seed plumbing).
+            # Lanes: icp-mode queries share one vmapped refine dispatch;
+            # goicp queries — with or without an init prior (per-pair
+            # multistart seeds) — share the lockstep BnB.
             out: list = [None] * len(subs)
             # lanes are (kind, target-service): a lockstep lane shares one
             # dispatch, so it must share a target too
@@ -571,10 +573,7 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
                     m = _mode(sub)
                     iov = {**ov, **_overrides(sub)}
                     parsed[i] = (svc, src, init, m, iov)
-                    if _overrides(sub) or (m == "goicp" and init is not None):
-                        kind = "solo"
-                    else:
-                        kind = m
+                    kind = "solo" if _overrides(sub) else m
                     lanes.setdefault((kind, id(svc)), []).append(i)
                 except Exception as e:  # per-item isolation
                     out[i] = _error_json(sub, e)
@@ -588,7 +587,9 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
                     )
                 elif kind == "goicp":
                     results = svc.register_batch(
-                        [parsed[i][1] for i in idxs], **ov
+                        [parsed[i][1] for i in idxs],
+                        inits=[parsed[i][2] for i in idxs],
+                        **ov,
                     )
                 else:
                     results = []
@@ -725,9 +726,10 @@ class Batcher(threading.Thread):
 
     def _serve_group(self, group: List[_Pending]):
         # anything that can't join a uniform lane answers solo; icp-mode
-        # queries share one vmapped refine, init-free goicp queries share
-        # one lockstep BnB (goicp-with-init has no lockstep seed plumbing).
-        # Lanes are per (kind, target): one dispatch = one target.
+        # queries share one vmapped refine, goicp queries — with or
+        # without an init prior (per-pair multistart seeds) — share one
+        # lockstep BnB.  Lanes are per (kind, target): one dispatch = one
+        # target.
         solo: List[_Pending] = []
         lanes: dict = {}   # (kind, id(svc)) -> [(pending, svc, src, init)]
         for p in group:
@@ -746,9 +748,6 @@ class Batcher(threading.Thread):
                 src = _load_query_source(req, svc.source_root)
                 init = _parse_init(req)
                 m = _mode(req)
-                if m == "goicp" and init is not None:
-                    solo.append(p)
-                    continue
                 lanes.setdefault((m, id(svc)), []).append((p, svc, src, init))
             except Exception as e:
                 p.resp = _error_json(req, e)
@@ -759,14 +758,13 @@ class Batcher(threading.Thread):
         for (kind, _), items in lanes.items():
             svc = items[0][1]
             srcs = [it[2] for it in items]
+            inits = [it[3] for it in items]
             self.batches.append(len(items))
             try:
                 if kind == "icp":
-                    results = svc.refine_batch(
-                        srcs, inits=[it[3] for it in items]
-                    )
+                    results = svc.refine_batch(srcs, inits=inits)
                 else:
-                    results = svc.register_batch(srcs)
+                    results = svc.register_batch(srcs, inits=inits)
                 for (p, _, _, _), res in zip(items, results):
                     p.resp = _result_json(p.req, res)
             except Exception as e:

@@ -490,3 +490,72 @@ def test_serve_main_stdio_honors_toml(tmp_path, monkeypatch, rng):
     assert info["defaults"]["mse_threshold"] == 0.123
     assert info["grid_resolution"] == 16
     assert resp["ok"] and resp["id"] == 9 and resp["converged"]
+
+
+def test_batch_goicp_priors_share_one_lockstep_dispatch(service, rng):
+    """VERDICT r4 item 4: prior-bearing goicp queries JOIN the lockstep
+    lane (previously each answered solo, losing batching entirely on
+    re-localization bursts).  8 queries with per-query init priors must
+    run as ONE lockstep batch, each prior honored (still optimal)."""
+    from goicp_tpu import multipair as mp
+
+    queries = [_query(service, rng, n=80) for _ in range(8)]
+    subs = []
+    for i, (src, Q, t) in enumerate(queries):
+        subs.append({
+            "id": i, "points": src.tolist(),
+            "init": {"R": np.asarray(Q, np.float64).tolist(),
+                     "t": np.asarray(t, np.float64).tolist()},
+        })
+
+    calls = []
+    orig = mp._register_pairs_lockstep
+
+    def spy(pairs_, p, mesh=None, **kw):
+        calls.append((len(pairs_), kw.get("inits")))
+        return orig(pairs_, p, mesh=mesh, **kw)
+
+    mp._register_pairs_lockstep = spy
+    try:
+        resp = handle_request(service, {"batch": subs})
+    finally:
+        mp._register_pairs_lockstep = orig
+    assert len(calls) == 1 and calls[0][0] == 8      # ONE lockstep dispatch
+    assert calls[0][1] is not None and len(calls[0][1]) == 8
+    assert all(T is not None for T in calls[0][1])   # per-query priors rode
+    for r, (src, Q, t) in zip(resp, queries):
+        assert r["ok"] and r["converged"]
+        a = src @ np.array(r["R"]).T + np.array(r["t"])
+        b = src @ Q.T + t
+        assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
+
+
+def test_register_batch_plane_metric_rides_lockstep(service, rng):
+    """VERDICT r4 item 1 (serving side): icp_metric='plane' batches stay on
+    the lockstep path with the RESIDENT normals (no silent point-to-point
+    downgrade, no per-query PCA)."""
+    from goicp_tpu import multipair as mp
+
+    queries = [_query(service, rng, n=80) for _ in range(3)]
+
+    calls = []
+    orig = mp._register_pairs_lockstep
+
+    def spy(pairs_, p, mesh=None, **kw):
+        calls.append(kw.get("tgt_normals"))
+        return orig(pairs_, p, mesh=mesh, **kw)
+
+    mp._register_pairs_lockstep = spy
+    try:
+        batch = service.register_batch(
+            [q[0] for q in queries], icp_metric="plane"
+        )
+    finally:
+        mp._register_pairs_lockstep = orig
+    assert len(calls) == 1 and calls[0] is not None  # resident normals rode
+    assert np.asarray(calls[0]).shape == (service.tgt.shape[0], 3)
+    for res, (src, Q, t) in zip(batch, queries):
+        assert res.converged
+        a = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+        b = src @ Q.T + t
+        assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
