@@ -75,6 +75,7 @@ def icp_pairs(
     inits: Optional[RigidTransform] = None,
     params: IcpParams = IcpParams(),
     normals=None,
+    pad_src_to: Optional[int] = None,
 ):
     """Refine one pose per pair, all pairs in one jitted call.
 
@@ -82,14 +83,19 @@ def icp_pairs(
     max target size (sentinels at +1e15 never win a nearest-neighbor race,
     and padded source points are weighted out).  ``normals``: target
     normals for ``params.metric == "plane"`` (see :func:`_pad_pair_normals`
-    for accepted shapes).  Returns ``(transforms [B], sse [B], iters [B])``
-    with per-pair trimming of the padding built in.
+    for accepted shapes).  ``pad_src_to``: pad the source axis to at least
+    this width (shape bucketing — one compiled executable serves every
+    batch whose sources fit the bucket; exact, because padded rows carry
+    weight 0).  Returns ``(transforms [B], sse [B], iters [B])`` with
+    per-pair trimming of the padding built in.
     """
     B = len(pairs)
     if B == 0:
         z = jnp.zeros((0,), jnp.float32)
         return RigidTransform.identity((0,)), z, z.astype(jnp.int32)
     n_src = max(p[0].shape[0] for p in pairs)
+    if pad_src_to is not None:
+        n_src = max(n_src, pad_src_to)
     n_tgt = max(p[1].shape[0] for p in pairs)
     srcs = np.zeros((B, n_src, 3), np.float32)
     tgts = np.full((B, n_tgt, 3), 1e15, np.float32)
@@ -144,6 +150,7 @@ def register_pairs(
     solver_grid=None,
     tgt_normals=None,
     inits: Optional[Sequence[Optional[RigidTransform]]] = None,
+    pad_src_to: Optional[int] = None,
 ) -> List[GoIcpResult]:
     """Globally-optimal registration of every pair.
 
@@ -180,19 +187,16 @@ def register_pairs(
     lockstep_ok = (
         batched
         and len(pairs) >= 2
-        and max(t.shape[0] for _, t in pairs) <= p.mxu_max
-        and max(s.shape[0] for s, _ in pairs) <= p.bound_points
-        # configurations the lockstep driver does not implement route to
-        # the per-pair solvers, which honor them
-        and p.engine == "se3"
-        and p.bound_backend != "grid"
-        and not p.checkpoint_path
-        and p.min_rot_span == 0.0
-        and p.min_trans_span == 0.0
+        and lockstep_compatible(
+            p,
+            max(s.shape[0] for s, _ in pairs),
+            max(t.shape[0] for _, t in pairs),
+        )
     )
     if lockstep_ok:
         return _register_pairs_lockstep(
-            pairs, p, mesh=mesh, tgt_normals=tgt_normals, inits=inits
+            pairs, p, mesh=mesh, tgt_normals=tgt_normals, inits=inits,
+            pad_src_to=pad_src_to,
         )
     def _nrm(i):
         if tgt_normals is None or p.icp_metric != "plane":
@@ -206,6 +210,22 @@ def register_pairs(
         ).run(None if inits is None else inits[i])
         for i, (s, t) in enumerate(pairs)
     ]
+
+
+def lockstep_compatible(p: BnbParams, n_src: int, n_tgt: int) -> bool:
+    """True when the lockstep driver covers this configuration.  The knobs
+    it does NOT implement (grid bounds for huge targets, the nested engine,
+    checkpointing, span floors) route to the per-pair solvers, which honor
+    them."""
+    return (
+        n_tgt <= p.mxu_max
+        and n_src <= p.bound_points
+        and p.engine == "se3"
+        and p.bound_backend != "grid"
+        and not p.checkpoint_path
+        and p.min_rot_span == 0.0
+        and p.min_trans_span == 0.0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +321,7 @@ def _register_pairs_lockstep(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]], p: BnbParams, mesh=None,
     tgt_normals=None,
     inits: Optional[Sequence[Optional[RigidTransform]]] = None,
+    pad_src_to: Optional[int] = None,
 ) -> List[GoIcpResult]:
     import time
 
@@ -310,6 +331,10 @@ def _register_pairs_lockstep(
     t_start = time.perf_counter()
     P = len(pairs)
     N = max(s.shape[0] for s, _ in pairs)
+    if pad_src_to is not None:
+        # shape bucketing (serving): weight-0 padded rows make one compiled
+        # round executable exact for every source size under the bucket
+        N = max(N, pad_src_to)
     Nt = max(t.shape[0] for _, t in pairs)
     srcs = np.zeros((P, N, 3), np.float32)
     wts = np.zeros((P, N), np.float32)
@@ -393,7 +418,7 @@ def _register_pairs_lockstep(
             t0[b * K + 1] = np.asarray(inits[b].t, np.float32)
     T0, sse0, _ = icp_pairs(
         rep_pairs, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
-        params=icp_params, normals=rep_nrm,
+        params=icp_params, normals=rep_nrm, pad_src_to=N,
     )
     sse0 = np.asarray(sse0, np.float64).reshape(P, K)
     jbest = np.argmin(sse0, axis=1)
