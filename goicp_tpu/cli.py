@@ -172,6 +172,11 @@ def run_goicp_mode(cfg: Config, src, tgt, bus: ProgressBus):
         "trans_nodes": res.trans_nodes,
         "wall_s": res.wall_s,
         "metrics": res.metrics.summary(),
+        # full-cloud certificate fields (bound_points-capped solves only)
+        "gap": res.gap,
+        "sse_full": res.sse_full,
+        "mse_full": res.mse_full,
+        "gap_full": res.gap_full,
     }
 
 
@@ -239,7 +244,17 @@ def run_scenario(
         trans_nodes=out["trans_nodes"],
         icp_iters=out["icp_iters"],
         wall_s=out["wall_s"],
-        extra={"scenario": out["scenario"], "n_src": out["n_src"], "n_tgt": out["n_tgt"]},
+        extra={
+            "scenario": out["scenario"], "n_src": out["n_src"],
+            "n_tgt": out["n_tgt"],
+            # full-cloud certificate (present only when the BnB solved a
+            # bound_points subset — see GoIcpResult field docs)
+            **{
+                k: out[k]
+                for k in ("gap", "sse_full", "mse_full", "gap_full")
+                if out.get(k) is not None
+            },
+        },
     )
     write_registration_ply(viz_path, tgt, src, out["R"], out["t"])
     try:

@@ -673,6 +673,11 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             gap=float(max(gap, 0.0)) if math.isfinite(gap) else 0.0,
             finished=True, rot_nodes=nodes, trans_nodes=nodes, round=rounds,
         ))
+        # full-cloud certificate (deterministic, collective-free — every
+        # process computes it from the exchange-identical incumbent)
+        sse_full, mse_full, gap_full = self._full_cert(
+            best_R, best_t, best_sse, gap
+        )
         return GoIcpResult(
             transform=RigidTransform(best_R, best_t),
             sse=best_sse,
@@ -685,6 +690,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             rounds=rounds,
             wall_s=wall,
             metrics=m,
+            sse_full=sse_full,
+            mse_full=mse_full,
+            gap_full=gap_full,
         )
 
     def _exchange_incumbent(self, best_R, best_t, best_sse):

@@ -579,7 +579,7 @@ def _load_query_source(
 
 
 def _result_json(req: dict, res: GoIcpResult) -> dict:
-    return {
+    out = {
         "id": req.get("id"),
         "ok": True,
         "R": np.asarray(res.transform.R, np.float64).round(9).tolist(),
@@ -592,6 +592,12 @@ def _result_json(req: dict, res: GoIcpResult) -> dict:
         "icp_iters": int(res.icp_iters),
         "wall_s": round(float(res.wall_s), 4),
     }
+    # full-cloud certificate (bound_points-capped solves only)
+    for k in ("sse_full", "mse_full", "gap_full"):
+        v = getattr(res, k, None)
+        if v is not None:
+            out[k] = float(v)
+    return out
 
 
 def _error_json(req, err: Exception) -> dict:

@@ -271,3 +271,46 @@ def test_screened_solve_matches_unscreened():
         assert rmse < 2e-3, (rmse, res.converged)
     assert res_s.converged == res_u.converged
     assert abs(res_s.mse - res_u.mse) < 1e-6
+
+
+def test_full_cloud_certificate_transfer(rng):
+    """VERDICT r4 item 8: a bound_points-capped solve carries a FULL-cloud
+    optimality statement (sse_full/mse_full/gap_full), sound against an
+    uncapped full-cloud solve."""
+    import dataclasses
+
+    from goicp_tpu.bnb import BnbParams, make_solver
+
+    tgt = (rng.random((260, 3)).astype(np.float32) - 0.5)
+    Q = random_rotation(rng)
+    t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+    src_full = ((tgt - t) @ Q).astype(np.float32)     # full cloud, exact GT
+
+    p_cap = BnbParams(
+        mse_threshold=1e-4, bound_points=120, grid_resolution=24,
+        max_rounds=400, init_multistart=4, se3_pop=64,
+    )
+    res = make_solver(src_full, tgt, p_cap).run()
+    assert res.converged
+    assert res.sse_full is not None and res.gap_full is not None
+    assert res.gap_full >= 0.0
+    n_full = src_full.shape[0]
+    assert res.mse_full == pytest.approx(res.sse_full / n_full)
+    # sse_full really is the full-cloud score at the returned pose
+    pts = src_full @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+    d2 = ((pts[:, None, :] - tgt[None]) ** 2).sum(-1).min(1)
+    assert res.sse_full == pytest.approx(float(d2.sum()), rel=1e-3, abs=1e-6)
+
+    # SOUNDNESS: the claimed full-cloud lower bound (sse_full - gap_full)
+    # must not exceed any ACHIEVED full-cloud sse — here the uncapped
+    # solve's, which solves the full cloud directly
+    p_un = dataclasses.replace(p_cap, bound_points=1 << 30)
+    res_un = make_solver(src_full, tgt, p_un).run()
+    assert res_un.sse_full is None and res_un.gap_full is None  # no subset
+    assert res.sse_full - res.gap_full <= res_un.sse + 1e-6
+
+    # trimmed solves keep gap_full=None (the trimmed-sum transfer is
+    # invalid — see GoIcpResult field docs) but still report sse_full
+    p_tr = dataclasses.replace(p_cap, trim_fraction=0.2, mse_threshold=1e-3)
+    res_tr = make_solver(src_full, tgt, p_tr).run()
+    assert res_tr.sse_full is not None and res_tr.gap_full is None
