@@ -362,6 +362,18 @@ def run_serving(n_queries=8, n_src=1200):
     }
 
 
+def run_multihost_headline():
+    """Re-executes the 1/2/4-process Gloo sweep of the real-bunny full
+    ε-certification through GoIcpSolverMultiHost (tools/multihost_headline)
+    — fresh numbers every bench run, never read from a stale doc
+    (VERDICT r4 item 2).  Subprocesses are CPU-pinned and never touch the
+    TPU tunnel."""
+    sys.path.insert(0, os.path.join(_HERE, "tools"))
+    from multihost_headline import run_headline as _mh
+
+    return _mh()
+
+
 def main():
     from goicp_tpu.core.cache import enable_persistent_cache
 
@@ -433,6 +445,12 @@ def main():
         traceback.print_exc()
         serving = {"error": f"{type(e).__name__}: {e}"}
 
+    try:
+        mh_headline = run_multihost_headline()
+    except Exception as e:
+        traceback.print_exc()
+        mh_headline = {"error": f"{type(e).__name__}: {e}"}
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -474,6 +492,7 @@ def main():
             "multipair_lockstep": multipair,
             "multipair_trimmed_lockstep": multipair_trimmed,
             "serving": serving,
+            "multihost_headline": mh_headline,
             "multihost_scaling": _multihost_scaling_summary(),
         },
     }

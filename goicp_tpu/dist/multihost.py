@@ -247,6 +247,26 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             pop_cap = -(-pop_cap // n_c) * n_c
 
         M_cap = 8 * pop_cap
+        # job-count buckets (same trick as the single-host engine,
+        # bnb/se3.py): partial rounds — the ramp-up/drain phases, and any
+        # starved host's rounds — dispatch at the nearest power-of-two
+        # bucket instead of the full M_cap padding.  Measured 2026-08-20
+        # (4×1-core Gloo, bunny@0.01 cert): without bucketing every
+        # partial round costs a full-width dispatch and 4-process
+        # efficiency collapses to 0.40.
+        _buckets = []
+        _b = 256
+        while _b < M_cap:
+            _buckets.append(_b)
+            _b *= 2
+        _buckets.append(M_cap)
+
+        def _bucket(n):
+            for _bb in _buckets:
+                if n <= _bb:
+                    return _bb
+            return M_cap
+
         # rebalance constants must be IDENTICAL on every process (they gate
         # and size a collective), but pop_cap is rounded by the LOCAL mesh
         # extent — heterogeneous hosts would diverge.  One allgather at
@@ -266,7 +286,8 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         def evaluate(child):
             """One fused singleton round over ``child [C,8]`` payloads."""
             C = child.shape[0]
-            padn = M_cap - C
+            cap = M_cap if sharded_round is not None else _bucket(C)
+            padn = cap - C
             R_c = self.rotparam.rotation(child[:, 0:3])
             ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3])
             R_pad = jnp.asarray(np.concatenate(
@@ -324,7 +345,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             sharded over the cube axis (same tradeoff as the single-host
             mesh path: devices beat the shared-plane amortization)."""
             Gt = tpay.shape[0]
-            padg = pop_cap - Gt
+            padg = (
+                pop_cap if sharded_round is not None else _bucket(8 * Gt) // 8
+            ) - Gt
             R_g = self.rotparam.rotation(tpay[:, 0:3])
             ang_g = self.rotparam.max_angle(tpay[:, 0:3], tpay[:, 3])
             half_t = (tpay[:, 7] / 2.0).astype(np.float32)
@@ -561,28 +584,37 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # ---- lockstep exchange (every process, every iteration) --------
             if new_best:
                 f_prune(best_sse - self.sse_thresh)
-            best_R, best_t, best_sse = self._exchange_incumbent(
-                best_R, best_t, best_sse
+            inflight_lb = min(
+                (w["min_parent_lb"] for w in inflight), default=float("inf")
             )
+            # ONE fused allgather carries incumbent (13f) AND status (3f) —
+            # halving the per-iteration barrier crossings.  The status
+            # slots are computed BEFORE the global-incumbent prune:
+            # conservative (pre-prune min_lb is ≤ the post-prune value and
+            # sizes are ≥), so the gap rule and the emptiness test can only
+            # fire one iteration later, never early.
+            rec = np.zeros(16, np.float32)
+            rec[0] = best_sse
+            rec[1:10] = np.asarray(best_R, np.float32).reshape(9)
+            rec[10:13] = np.asarray(best_t, np.float32)
+            rec[13] = min(f_min_lb(), leaf_lb, inflight_lb)
+            rec[14] = float(f_len() + sum(w["n_parents"] for w in inflight))
+            rec[15] = float(
+                it >= p.max_rounds
+                or time.perf_counter() - t_start > p.max_wall_s
+            )
+            allr = _allgather_np(rec)                      # [P, 16]
+            j = int(np.argmin(allr[:, 0]))
+            if float(allr[j, 0]) < best_sse:
+                best_sse = float(allr[j, 0])
+                best_R = allr[j, 1:10].reshape(3, 3)
+                best_t = allr[j, 10:13]
             f_prune(best_sse - self.sse_thresh)
             # `it` is global, so all P slices snapshot at the same cut
             if ck_path and it % max(p.checkpoint_every, 1) == 0:
                 save_checkpoint()
-            want_stop = float(
-                it >= p.max_rounds
-                or time.perf_counter() - t_start > p.max_wall_s
-            )
-            inflight_lb = min(
-                (w["min_parent_lb"] for w in inflight), default=float("inf")
-            )
-            local = np.float32([
-                min(f_min_lb(), leaf_lb, inflight_lb),
-                float(f_len() + sum(w["n_parents"] for w in inflight)),
-                want_stop,
-            ])
-            allg = _allgather_np(local)                    # [P, 3]
-            g_min_lb = float(allg[:, 0].min())
-            sizes = allg[:, 1]
+            g_min_lb = float(allr[:, 13].min())
+            sizes = allr[:, 14]
             total = float(sizes.sum())
 
             if best_sse <= self.sse_thresh:
@@ -601,7 +633,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # unanimous break: converged/g_min_lb/sizes are identical on all
             # processes and want_stop is max-reduced, so every process takes
             # this branch on the same iteration (no dangling collectives)
-            if converged or allg[:, 2].max() > 0:
+            if converged or allr[:, 15].max() > 0:
                 break
 
             # ---- rebalance: even out frontiers ------------------------------
@@ -616,6 +648,11 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 and total > P * pop_cap_g / 2
                 and (
                     sizes.min() < pop_cap_g
+                    # 2× is deliberate: a tighter (1.25×) trigger was
+                    # measured SLOWER (73.5 vs 68.4 s, 4×1-core bunny@0.01
+                    # cert) — eager rebalancing pops each frontier's BEST
+                    # nodes into the exchange and disturbs best-first
+                    # locality more than the tail skew costs
                     or sizes.max() > 2 * max(sizes.min(), 1.0)
                 )
             ):

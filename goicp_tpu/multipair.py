@@ -396,11 +396,6 @@ def _register_pairs_lockstep(
             random_rotations(K - 1, np.random.default_rng(12345)),
         ]
     )                                                      # [K,3,3]
-    rep_pairs = [pairs[b] for b in range(P) for _ in range(K)]
-    rep_nrm = (
-        None if nrm_pad is None
-        else [nrm_pad[b] for b in range(P) for _ in range(K)]
-    )
     R0 = np.tile(seeds, (P, 1, 1))                         # [P·K,3,3]
     t0 = np.zeros((P * K, 3), np.float32)
     for b, (s, t) in enumerate(pairs):
@@ -416,6 +411,60 @@ def _register_pairs_lockstep(
             # BnB certifies whatever basin any seed lands in
             R0[b * K + 1] = np.asarray(inits[b].R, np.float32)
             t0[b * K + 1] = np.asarray(inits[b].t, np.float32)
+
+    # coarse-to-fine (the lockstep form of GoIcpSolver._initial_icp's
+    # init_coarse_n stage): every (pair × seed) first converges on
+    # nc-point subset clouds — NN cost divided by up to (N/nc)·(Nt/nc) —
+    # then only the best few per pair (plus the pinned identity/prior
+    # seeds, with their ORIGINAL exact starts) refine at full resolution.
+    nc = p.init_coarse_n
+    n_min = min(
+        min(s.shape[0] for s, _ in pairs), min(t.shape[0] for _, t in pairs)
+    )
+    if 0 < nc < n_min // 2 and K > 4:
+        crng = np.random.default_rng(424242)
+        coarse_pairs, coarse_nrm = [], ([] if nrm_pad is not None else None)
+        for b, (s, t) in enumerate(pairs):
+            sidx = np.sort(crng.choice(s.shape[0], nc, replace=False))
+            tidx = np.sort(crng.choice(t.shape[0], nc, replace=False))
+            coarse_pairs.append((s[sidx], t[tidx]))
+            if coarse_nrm is not None:
+                # index the full-cloud normals at the subset rows (cheaper
+                # and more accurate than re-estimating on the thin cloud)
+                coarse_nrm.append(nrm_pad[b][tidx])
+        rep_c = [coarse_pairs[b] for b in range(P) for _ in range(K)]
+        rep_cn = (
+            None if coarse_nrm is None
+            else [coarse_nrm[b] for b in range(P) for _ in range(K)]
+        )
+        Tc, sse_c, _ = icp_pairs(
+            rep_c, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
+            params=icp_params, normals=rep_cn,
+        )
+        sse_c = np.asarray(sse_c, np.float64).reshape(P, K)
+        Rc = np.array(Tc.R).reshape(P, K, 3, 3)
+        tc = np.array(Tc.t).reshape(P, K, 3)
+        keep = min(max(4, p.refine_top_k), K)
+        K2 = keep + 2                     # + pinned identity / prior slots
+        R0n = np.zeros((P, K2, 3, 3), np.float32)
+        t0n = np.zeros((P, K2, 3), np.float32)
+        for b in range(P):
+            top = np.argsort(sse_c[b])[:keep]
+            R0n[b, :keep] = Rc[b, top]
+            t0n[b, :keep] = tc[b, top]
+            R0n[b, keep] = R0[b * K]      # identity start, exact
+            t0n[b, keep] = t0[b * K]
+            R0n[b, keep + 1] = R0[b * K + 1]   # prior (or seed 1), exact
+            t0n[b, keep + 1] = t0[b * K + 1]
+        K = K2
+        R0 = R0n.reshape(P * K, 3, 3)
+        t0 = t0n.reshape(P * K, 3)
+
+    rep_pairs = [pairs[b] for b in range(P) for _ in range(K)]
+    rep_nrm = (
+        None if nrm_pad is None
+        else [nrm_pad[b] for b in range(P) for _ in range(K)]
+    )
     T0, sse0, _ = icp_pairs(
         rep_pairs, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
         params=icp_params, normals=rep_nrm, pad_src_to=N,

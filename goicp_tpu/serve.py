@@ -157,13 +157,20 @@ class RegistrationService:
 
     @staticmethod
     def _bucket(n: int) -> int:
-        """Shape bucket: the next power of two ≥ max(n, 128).  One compiled
+        """Shape bucket: the next size in {128, 192, 256, 384, 512, …}
+        (powers of two interleaved with 1.5×) ≥ n.  One compiled
         executable serves every query size under the bucket (padded rows
-        carry weight 0 — exact)."""
+        carry weight 0 — exact); the 1.5× steps cap the padded-compute
+        waste at 33% (pure powers of two cost up to 2× — measured on the
+        batch lane: 1200-point queries padded to 2048 ran 0.27 s/query
+        vs 0.19 unbucketed)."""
         b = 128
-        while b < n:
+        while True:
+            if n <= b:
+                return b
+            if n <= b + b // 2:
+                return b + b // 2
             b *= 2
-        return b
 
     def _check_points(self, sources: Sequence[np.ndarray]):
         for s in sources:

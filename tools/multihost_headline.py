@@ -1,0 +1,163 @@
+"""Multi-host HEADLINE certification: a real-bunny full ε-certification
+through ``GoIcpSolverMultiHost`` at 1, 2, and 4 Gloo processes
+(VERDICT r4 item 2).
+
+Every process is pinned to ONE core (``taskset``) — this box has 4 cores,
+so the 1-process baseline gets the same per-host compute as each of the 4
+distributed hosts and the ratios isolate the multihost protocol (lockstep
+allgather cadence, root-partition skew, rebalancing), which is what
+carries to real pods.  CPU Gloo allgather latency is 10²–10³× ICI, so
+these efficiencies are LOWER bounds for TPU-pod efficiency.
+
+``run_headline()`` re-executes the full 1/2/4 sweep and returns the
+record ``bench.py`` embeds (fresh every bench run, never read from a
+stale doc); asserts pose agreement with the single-host solve and gap 0.
+
+Usage: python tools/multihost_headline.py [subsample] [mse_threshold]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+WORKER = os.path.join(HERE, "multihost_bunny_worker.py")
+
+SUBSAMPLE = 0.01       # 301 real bunny points — the largest subsample
+                       # whose full certification fits a per-bench-run CPU
+                       # budget (~190 s/core; see the worker docstring for
+                       # why the data-vs-model pair itself is infeasible)
+THRESHOLD = 2.6e-4     # just under the σ=0.01 noise-floor optimum
+                       # (≈2.7e-4): convergence is via the gap rule —
+                       # a pure ε-certification (~10^5 nodes)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(nproc: int, subsample: float, thr: float) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # each worker is pinned to ONE core: a multi-threaded XLA CPU
+    # threadpool would just context-switch against itself
+    env["XLA_FLAGS"] = (
+        "--xla_cpu_multi_thread_eigen=false "
+        + env.get("XLA_FLAGS", "")
+    ).strip()
+    env["OMP_NUM_THREADS"] = "1"
+    # round quantum per configuration (measured sweep 2026-08-20, this
+    # box): single-host prefers fat rounds (128·8 jobs/dispatch); the
+    # distributed hosts prefer finer quanta (64) — partial rounds during
+    # ramp-up/drain then waste less padded compute (the job-count buckets
+    # in dist/multihost.py cap that waste at 256-node steps)
+    env["GOICP_MH_POP"] = "128" if nproc == 1 else "64"
+    port = _free_port()
+    procs, outs = [], []
+    t0 = time.perf_counter()
+    for pid in range(nproc):
+        out = f"/tmp/mh_headline_{nproc}_{pid}.json"
+        if os.path.exists(out):
+            os.remove(out)
+        outs.append(out)
+        cmd = [
+            "taskset", "-c", str(pid),
+            sys.executable, WORKER, str(pid), str(nproc), str(port), out,
+            str(subsample), str(thr),
+        ]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ))
+    for pr in procs:
+        rc = pr.wait(timeout=1800)
+        if rc != 0:
+            raise RuntimeError(f"worker exited {rc} (nproc={nproc})")
+    wall = time.perf_counter() - t0
+    recs = [json.load(open(o)) for o in outs]
+    assert all(r["converged"] for r in recs), recs
+    assert all(r["gap"] == 0.0 for r in recs), [r["gap"] for r in recs]
+    # every process of one run must report the identical exchanged pose
+    for r in recs[1:]:
+        assert r["R"] == recs[0]["R"] and r["t"] == recs[0]["t"]
+    total_nodes = sum(r["local_nodes"] for r in recs)
+    solver_wall = max(r["solver_wall_s"] for r in recs)
+    return {
+        "processes": nproc,
+        "total_wall_s": round(wall, 2),          # incl. startup/compiles
+        "solver_wall_s": round(solver_wall, 2),  # the scaling quantity
+        "total_nodes": total_nodes,
+        "nodes_per_s": round(total_nodes / solver_wall, 1),
+        "node_split": [r["local_nodes"] for r in recs],
+        "rebalances": max(r["rebalances"] for r in recs),
+        "mse": recs[0]["mse"],
+        "gap": recs[0]["gap"],
+        "rmse_vs_gt": recs[0]["rmse_vs_gt"],
+        "R": recs[0]["R"],
+        "t": recs[0]["t"],
+    }
+
+
+def run_headline(subsample: float = SUBSAMPLE, thr: float = THRESHOLD) -> dict:
+    import numpy as np
+
+    rows = [_run(p, subsample, thr) for p in (1, 2, 4)]
+    base = rows[0]
+    out = {
+        "workload": (
+            f"real bunny scan @ subsample {subsample} "
+            f"({json.load(open('/tmp/mh_headline_1_0.json'))['n_src']} pts), "
+            f"rigid+noise target, FULL epsilon-certification to convergence "
+            f"(gap rule; thr {thr} < noise-floor optimum) through "
+            f"GoIcpSolverMultiHost; 1 core per process (4-core box), "
+            f"CPU Gloo — efficiencies are LOWER bounds for ICI pods"
+        ),
+        "mse": base["mse"],
+        "gap": base["gap"],
+        "rmse_vs_gt": base["rmse_vs_gt"],
+        "wall_1_s": base["solver_wall_s"],
+        "gap_zero": all(r["gap"] == 0.0 for r in rows),
+        "rows": [
+            {k: r[k] for k in (
+                "processes", "total_wall_s", "solver_wall_s", "total_nodes",
+                "nodes_per_s", "node_split", "rebalances",
+            )}
+            for r in rows
+        ],
+    }
+    # pose identity vs the single-host solve: the certified pose must agree
+    # across 1/2/4 processes (within the f32 refine tolerance of the
+    # shared basin — the certification admits any pose with sse within ε)
+    R1 = np.array(base["R"])
+    pose_ok = True
+    for r in rows[1:]:
+        out[f"wall_{r['processes']}_s"] = r["solver_wall_s"]
+        dR = float(np.abs(np.array(r["R"]) - R1).max())
+        dmse = abs(r["mse"] - base["mse"]) / max(base["mse"], 1e-30)
+        out[f"pose_dR_{r['processes']}"] = round(dR, 6)
+        pose_ok = pose_ok and dR < 5e-3 and dmse < 0.02
+        out[f"efficiency_{r['processes']}"] = round(
+            r["nodes_per_s"] / (r["processes"] * base["nodes_per_s"]), 2
+        )
+        out[f"tts_speedup_{r['processes']}"] = round(
+            base["solver_wall_s"] / r["solver_wall_s"], 2
+        )
+    out["pose_identical"] = pose_ok
+    assert pose_ok, out
+    return out
+
+
+if __name__ == "__main__":
+    sub = float(sys.argv[1]) if len(sys.argv) > 1 else SUBSAMPLE
+    thr = float(sys.argv[2]) if len(sys.argv) > 2 else THRESHOLD
+    print(json.dumps(run_headline(sub, thr), indent=1))
