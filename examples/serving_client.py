@@ -68,3 +68,17 @@ with socket.create_connection(("127.0.0.1", port)) as s:
     })
     print("track/plane:", r3["converged"], "iters", r3["icp_iters"],
           "wall", r3["wall_s"])
+
+    # re-localization burst: prior-bearing goicp queries BATCH — all items
+    # share ONE lockstep BnB dispatch per round, each prior pinned as that
+    # query's multistart seed (still globally optimal)
+    burst = {"batch": [
+        {"id": 10 + i, "points": query.round(6).tolist(),
+         "init": {"R": r["R"], "t": r["t"]}}
+        for i in range(4)
+    ]}
+    f.write(json.dumps(burst) + "\n")
+    f.flush()
+    for _ in range(4):
+        ri = json.loads(f.readline())
+        print("burst:", ri["id"], ri["converged"], "wall", ri["wall_s"])
