@@ -321,6 +321,24 @@ def run_serving(n_queries=8, n_src=1200):
     batch = svc.register_batch(queries)
     bwall = time.perf_counter() - t0
 
+    # plane-metric goicp batch (rides the lockstep with resident normals)
+    svc.register_batch(queries, icp_metric="plane")      # warm
+    t0 = time.perf_counter()
+    bp = svc.register_batch(queries, icp_metric="plane")
+    bpwall = time.perf_counter() - t0
+
+    # batch-width scaling: the lane should hold per-query cost ~flat
+    q16 = queries + [
+        ((tgt[rng.choice(tgt.shape[0], n_src, replace=False)]
+          - (rng.random(3).astype(np.float32) - 0.5) * 0.3)
+         @ random_rotations(1, rng)[0]).astype(np.float32)
+        for _ in range(n_queries)
+    ]
+    svc.register_batch(q16)                      # warm
+    t0 = time.perf_counter()
+    b16 = svc.register_batch(q16)
+    b16wall = time.perf_counter() - t0
+
     # tracking path (mode=icp with a per-frame prior): local refinement only
     from goicp_tpu.core.types import RigidTransform
 
@@ -353,7 +371,13 @@ def run_serving(n_queries=8, n_src=1200):
         "batch_n": n_queries,
         "batch_total_s": round(bwall, 3),
         "batch_per_query_s": round(bwall / n_queries, 3),
-        "all_converged": bool(all(r.converged for r in batch)),
+        "batch_plane_per_query_s": round(bpwall / n_queries, 3),
+        "batch16_per_query_s": round(b16wall / (2 * n_queries), 3),
+        "all_converged": bool(
+            all(r.converged for r in batch)
+            and all(r.converged for r in bp)
+            and all(r.converged for r in b16)
+        ),
         "tracking_warm_s": round(float(np.median(tracks)), 4),
         "tracking_batch_per_query_s": round(twall / n_queries, 4),
         "tracking_all_converged": bool(all(r.converged for r in tb)),
