@@ -559,7 +559,7 @@ def _compact_multihost(detail):
     return {
         k: mh.get(k)
         for k in ("efficiency_2", "efficiency_4", "wall_1_s", "wall_2_s",
-                  "wall_4_s", "pose_identical", "gap_zero")
+                  "wall_4_s", "pose_identical", "gap_le_eps")
         if k in mh
     }
 

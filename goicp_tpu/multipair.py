@@ -57,7 +57,16 @@ def _pad_pair_normals(normals, pairs, n_tgt: int) -> Optional[np.ndarray]:
             )
         for b, nb in enumerate(normals):
             nb = np.asarray(nb, np.float32)
-            out[b, : nb.shape[0]] = nb
+            if nb.shape[0] < pairs[b][1].shape[0]:
+                # a short per-pair array would silently give real target
+                # points the dummy normal — a wrong plane objective with
+                # no error (the shared-array branch below validates too)
+                raise ValueError(
+                    f"pair {b}: normals cover {nb.shape[0]} of "
+                    f"{pairs[b][1].shape[0]} target points"
+                )
+            k = min(nb.shape[0], out.shape[1])
+            out[b, :k] = nb[:k]
     else:
         nb = np.asarray(normals, np.float32)
         for b, (_, t) in enumerate(pairs):
@@ -104,7 +113,13 @@ def icp_pairs(
         srcs[b, : s.shape[0]] = s
         w[b, : s.shape[0]] = 1.0
         tgts[b, : t.shape[0]] = t
-    nrm = _pad_pair_normals(normals, pairs, n_tgt)
+    # normals only matter to the plane metric — don't pay the [B,Nt,3]
+    # build/upload (and the per-iteration normals gather) for point runs
+    nrm = (
+        _pad_pair_normals(normals, pairs, n_tgt)
+        if params.metric == "plane"
+        else None
+    )
     T0 = inits if inits is not None else RigidTransform.identity((B,))
     return _icp_pairs_jit(
         jnp.asarray(srcs), jnp.asarray(tgts), jnp.asarray(w), T0, params,

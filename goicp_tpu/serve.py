@@ -106,9 +106,14 @@ class RegistrationService:
         self.icp_cache_size = max(1, int(icp_cache_size))
         self.log = get_logger()
         self._lock = threading.Lock()   # one device, one solve at a time
+        # separate (reentrant — _icp_setup calls _normals) lock for the
+        # host-side caches: library callers may hit refine()/_icp_setup
+        # from several threads before reaching the device lock
+        self._cache_lock = threading.RLock()
         self.queries = 0
         self._tgt_dev = None            # device-resident target, first use
         self._nrm_dev: dict = {}        # normals_k -> device target normals
+        self._nrm_host: dict = {}       # normals_k -> host copy (lockstep)
         from collections import OrderedDict
 
         self._icp_cache: "OrderedDict" = OrderedDict()
@@ -235,7 +240,7 @@ class RegistrationService:
             if use_lockstep:
                 return _register_pairs_lockstep(
                     [(s, self.tgt) for s in sources], p,
-                    tgt_normals=self._normals(p), inits=inits,
+                    tgt_normals=self._normals_host(p), inits=inits,
                     pad_src_to=(
                         self._bucket(n_max) if self.bucket_shapes else None
                     ),
@@ -249,7 +254,7 @@ class RegistrationService:
                 ]
             return register_pairs(
                 [(s, self.tgt) for s in sources], p, solver_grid=self.grid,
-                tgt_normals=self._normals(p), inits=inits,
+                tgt_normals=self._normals_host(p), inits=inits,
             )
 
     def _normals(self, p: BnbParams):
@@ -258,17 +263,30 @@ class RegistrationService:
         construction takes them via ``make_solver(..., normals=)``)."""
         if p.icp_metric != "plane":
             return None
-        normals = self._nrm_dev.get(p.normals_k)
-        if normals is None:
-            import jax.numpy as jnp
+        with self._cache_lock:
+            normals = self._nrm_dev.get(p.normals_k)
+            if normals is None:
+                import jax.numpy as jnp
 
-            from goicp_tpu.geo.normals import estimate_normals
+                from goicp_tpu.geo.normals import estimate_normals
 
-            if self._tgt_dev is None:
-                self._tgt_dev = jnp.asarray(self.tgt)
-            normals = estimate_normals(self._tgt_dev, k=p.normals_k)
-            self._nrm_dev[p.normals_k] = normals
-        return normals
+                if self._tgt_dev is None:
+                    self._tgt_dev = jnp.asarray(self.tgt)
+                normals = estimate_normals(self._tgt_dev, k=p.normals_k)
+                self._nrm_dev[p.normals_k] = normals
+            return normals
+
+    def _normals_host(self, p: BnbParams):
+        """Host copy of the resident normals for the lockstep driver —
+        fetched from device ONCE per ``normals_k``, not per batch."""
+        if p.icp_metric != "plane":
+            return None
+        with self._cache_lock:
+            h = self._nrm_host.get(p.normals_k)
+            if h is None:
+                h = np.asarray(self._normals(p), np.float32)
+                self._nrm_host[p.normals_k] = h
+            return h
 
     def _icp_setup(self, p: BnbParams):
         """(IcpParams, correspondence closure) for the tracking path —
@@ -278,6 +296,10 @@ class RegistrationService:
             p.icp_max_iter, p.icp_rel_tol, p.mse_threshold,
             p.trim_fraction, p.icp_exact_max, p.icp_metric, p.normals_k,
         )
+        with self._cache_lock:
+            return self._icp_setup_locked(p, key)
+
+    def _icp_setup_locked(self, p: BnbParams, key):
         hit = self._icp_cache.get(key)
         if hit is not None:
             self._icp_cache.move_to_end(key)   # LRU refresh
@@ -888,14 +910,15 @@ def serve_tcp(
     window_s: float = 0.05,
     ready: Optional[threading.Event] = None,
     bound: Optional[list] = None,
-    max_line: int = 64 << 20,
+    max_line: int = 80 << 20,
 ):
     """Blocking TCP server: one JSON request per line per connection,
     concurrent connections micro-batched through a :class:`Batcher`.
     ``{"cmd": "shutdown"}`` from any client stops the server.  ``ready`` /
     ``bound`` (a list to receive the actual port) support test harnesses.
-    ``max_line`` caps the per-request payload (64 MB ≈ 1.3M inline points —
-    already above the default ``max_points``; raise both to go bigger)."""
+    ``max_line`` caps the per-request payload (80 MB comfortably fits the
+    default ``max_points`` of 1M inline points even at full float precision
+    ~60 bytes/point; raise both to go bigger)."""
     import socketserver
 
     batcher = Batcher(service, max_batch=max_batch, window_s=window_s)
@@ -1004,7 +1027,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--max-points", type=int, default=1 << 20,
                     help="reject queries with more points than this "
                          "(bounded device allocation; default 1M)")
-    ap.add_argument("--max-line-mb", type=int, default=64,
+    ap.add_argument("--max-line-mb", type=int, default=80,
                     help="per-request line cap in MB (TCP mode)")
     ap.add_argument("--no-shape-bucket", action="store_true",
                     help="disable query-size bucketing (compile per exact "
