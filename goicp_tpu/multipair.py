@@ -308,24 +308,79 @@ def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask, h,
     return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
 
 
+def _bounds_one_pair_mxu(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask,
+                         h, trim: bool):
+    """Fused-kernel form of :func:`_bounds_one_pair`: the exact per-point
+    NN distances come from the Pallas VMEM-resident kernel
+    (``nn.mxu.min_d2_nodes`` — the solver hot path's rate class), with the
+    deflation + weighted/trimmed reductions as a thin XLA epilogue.
+    Padded source rows sit at the origin and carry weight 0 (the kernel
+    computes their distances; the epilogue masks them out), padded target
+    rows are +1e15 sentinels that never win the min."""
+    from goicp_tpu.nn import mxu as _mxu
+
+    srcT = _mxu.pack_sources(src)                           # [8, Np]
+    wm = _mxu.pack_targets(tgt)
+    params = _mxu.pack_params(R, t_c)
+    d2 = _mxu.min_d2_nodes(srcT, wm, params)                # [M, Np]
+    Np = d2.shape[1]
+    wp = jnp.pad(w, (0, Np - w.shape[0]))
+    norms_p = jnp.pad(norms, (0, Np - norms.shape[0]))
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    gamma_r = rotation_displacement(ang, norms_p)           # [M, Np]
+    gamma_t = (_SQRT3 * t_s)[:, None]
+    u = (d + slack) ** 2
+    l = jnp.maximum(
+        jnp.maximum(d - slack, 0.0) - gamma_r - gamma_t, 0.0
+    ) ** 2
+    if trim:
+        pad_inf = jnp.where(wp[None, :] > 0, 0.0, jnp.float32(np.inf))
+        ub = _trimmed_sum_bisect(u + pad_inf, h, upper=True)
+        lb = _trimmed_sum_bisect(l + pad_inf, h, upper=False)
+    else:
+        ub = jnp.sum(u * wp[None, :], axis=-1)
+        lb = jnp.sum(l * wp[None, :], axis=-1)
+    inf = jnp.float32(np.inf)
+    return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("refine_k", "icp_params", "trim")
+    jax.jit, static_argnames=("refine_k", "icp_params", "trim", "use_kernel")
 )
 def _pairs_round(srcs, wts, norms, tgts, tnrm, slack, R, ang, t_c, t_s, mask,
-                 h, *, refine_k: int, icp_params, trim: bool = False):
+                 h, *, refine_k: int, icp_params, trim: bool = False,
+                 use_kernel: bool = False):
     """ONE device dispatch advancing every pair: bound evaluation for all
     ``[P, M]`` jobs + top-k batched ICP refinement per pair (the lockstep
     form of ``bnb.se3.se3_round``).  ``h [P]``: per-pair inlier counts
     (trimmed sums when ``trim``); ``tnrm [P,Nt,3]`` (or None): per-pair
     target normals — the refine tail descends the plane metric when
     ``icp_params.metric == "plane"`` while bounds/incumbents stay
-    point-SSE (the run_icp contract)."""
+    point-SSE (the run_icp contract).
+
+    ``use_kernel`` (single-chip TPU, set by the driver): the per-pair
+    bounds run the fused Pallas kernel sequentially over the pair axis
+    (``lax.map`` — pairs are each a full-width kernel dispatch, so the
+    chip stays saturated).  Off (CPU test mesh, or a pair-axis device
+    mesh where a sequential map would defeat the sharding): the vmapped
+    XLA exact path."""
     from goicp_tpu.icp import run_icp
 
-    ub, lb = jax.vmap(
-        functools.partial(_bounds_one_pair, trim=trim),
-        in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0),
-    )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h)
+    if use_kernel:
+        def one_pair(args):
+            src, w, nrm, tgt, R_, ang_, tc_, ts_, m_, h_ = args
+            return _bounds_one_pair_mxu(
+                src, w, nrm, tgt, slack, R_, ang_, tc_, ts_, m_, h_, trim
+            )
+
+        ub, lb = jax.lax.map(
+            one_pair, (srcs, wts, norms, tgts, R, ang, t_c, t_s, mask, h)
+        )
+    else:
+        ub, lb = jax.vmap(
+            functools.partial(_bounds_one_pair, trim=trim),
+            in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0),
+        )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h)
 
     def refine_one(src, w, tgt, ub_p, R_p, t_p, nrm=None):
         _, top = jax.lax.top_k(-ub_p, refine_k)
@@ -577,6 +632,11 @@ def _register_pairs_lockstep(
         place = jnp.asarray
     srcs_d, wts_d, norms_d, tgts_d = map(place, (srcs, wts, norms, tgts))
     tnrm_d = None if nrm_pad is None else place(nrm_pad)
+    # fused Pallas bounds on a single TPU chip; a pair-axis mesh keeps the
+    # vmapped XLA path (a sequential per-pair map would defeat sharding)
+    from goicp_tpu.nn.mxu import _on_tpu
+
+    use_kernel = _on_tpu() and mesh is None
 
     while True:
         active = [
@@ -623,6 +683,7 @@ def _register_pairs_lockstep(
             place(R_all), place(ang_all), place(t_all),
             place(ts_all), place(mask_all), place(h.astype(np.float32)),
             refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
+            use_kernel=use_kernel,
         )
         ub, lb, R_ref, t_ref, sse_ref, it_ref = map(
             np.asarray, jax.device_get(out)
