@@ -638,16 +638,15 @@ def _register_pairs_lockstep(
 
     use_kernel = _on_tpu() and mesh is None
 
-    while True:
-        active = [
-            b
-            for b in range(P)
-            if not converged[b] and len(fronts[b]) and rounds < p.max_rounds
-        ]
-        if not active or time.perf_counter() - t_start > p.max_wall_s:
-            break
-        rounds += 1
+    h_d = place(h.astype(np.float32))
+    slack_d = jnp.float32(slack)
 
+    def dispatch():
+        """Pop + expand every live pair's best nodes and LAUNCH one fused
+        round (async — results fetched by :func:`absorb`)."""
+        active = [b for b in range(P) if not converged[b] and len(fronts[b])]
+        if not active:
+            return None
         R_all = np.tile(np.eye(3, dtype=np.float32), (P, M_cap, 1, 1))
         ang_all = np.zeros((P, M_cap), np.float32)
         t_all = np.zeros((P, M_cap, 3), np.float32)
@@ -678,19 +677,37 @@ def _register_pairs_lockstep(
             ts_all[b, :C] = child[:, 7]
             mask_all[b, :C] = True
 
+        # job-count bucketing (same trick as bnb/se3.py): ramp-up/drain
+        # rounds with few live children per pair dispatch at the nearest
+        # power-of-two bucket instead of the full M_cap padding
+        Cmax = max(childs[b].shape[0] for b in active)
+        Mb = 512
+        while Mb < min(Cmax, M_cap):
+            Mb *= 2
+        Mb = min(Mb, M_cap)
         out = _pairs_round(
-            srcs_d, wts_d, norms_d, tgts_d, tnrm_d, jnp.float32(slack),
-            place(R_all), place(ang_all), place(t_all),
-            place(ts_all), place(mask_all), place(h.astype(np.float32)),
+            srcs_d, wts_d, norms_d, tgts_d, tnrm_d, slack_d,
+            place(R_all[:, :Mb]), place(ang_all[:, :Mb]),
+            place(t_all[:, :Mb]), place(ts_all[:, :Mb]),
+            place(mask_all[:, :Mb]), h_d,
             refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
             use_kernel=use_kernel,
         )
-        ub, lb, R_ref, t_ref, sse_ref, it_ref = map(
-            np.asarray, jax.device_get(out)
-        )
+        return {"childs": childs, "R_all": R_all, "active": active,
+                "out": out}
 
-        for b in active:
-            child = childs[b]
+    def absorb(work):
+        """Fetch one in-flight round; update incumbents, prune, push.
+        Threshold convergence fires here; the gap rule only tests in a
+        SETTLED state (no rounds in flight) — with rounds outstanding the
+        frontiers are partially drained and min_lb would read spuriously
+        high (the same rule as bnb/se3.py's pipelined loop)."""
+        ub, lb, R_ref, t_ref, sse_ref, it_ref = map(
+            np.asarray, jax.device_get(work["out"])
+        )
+        R_all = work["R_all"]
+        for b in work["active"]:
+            child = work["childs"][b]
             C = child.shape[0]
             icp_iters[b] += int(it_ref[b].sum())
             j = int(np.argmin(sse_ref[b]))
@@ -706,10 +723,47 @@ def _register_pairs_lockstep(
                 fronts[b].prune(best_sse[b] - sse_thresh[b])
             alive = lb[b, :C] < best_sse[b] - sse_thresh[b]
             if alive.any():
-                fronts[b].push(child[alive], lb[b, :C][alive], ub[b, :C][alive])
-            gap_lb = fronts[b].min_lb() if len(fronts[b]) else np.inf
-            if best_sse[b] <= sse_thresh[b] or best_sse[b] - gap_lb <= sse_thresh[b]:
+                fronts[b].push(
+                    child[alive], lb[b, :C][alive], ub[b, :C][alive]
+                )
+            if best_sse[b] <= sse_thresh[b]:
                 converged[b] = True
+
+    def settled_gap_check():
+        for b in range(P):
+            if not converged[b] and len(fronts[b]):
+                if best_sse[b] - fronts[b].min_lb() <= sse_thresh[b]:
+                    converged[b] = True
+
+    # up to pipeline_depth rounds in flight (the lockstep form of the
+    # SE(3) engine's pipelining): round k+d pops disjoint frontier slices
+    # before round k's results land, hiding host assembly + dispatch
+    # latency behind device compute.  Staleness only weakens
+    # incumbent-driven pruning by a few rounds — every node is still
+    # evaluated, so certificates are unaffected.
+    from collections import deque
+
+    inflight: deque = deque()
+    depth = max(1, p.pipeline_depth)
+    while True:
+        if time.perf_counter() - t_start > p.max_wall_s:
+            while inflight:
+                absorb(inflight.popleft())
+            break
+        can = rounds < p.max_rounds
+        if can and not inflight:
+            settled_gap_check()
+        if can and len(inflight) < depth:
+            work = dispatch()
+            if work is not None:
+                rounds += 1
+                inflight.append(work)
+                continue
+        if inflight:
+            absorb(inflight.popleft())
+            continue
+        break
+    settled_gap_check()
 
     wall = time.perf_counter() - t_start
     results = []
