@@ -247,6 +247,47 @@ def run_multipair(n_pairs=4):
     }
 
 
+def run_multipair_cert(n_pairs=4):
+    """CERTIFICATION-heavy lockstep: noisy rigid bunny pairs with the mse
+    threshold below the noise-floor optimum, so every pair runs a full
+    ~125k-node ε-certification through the fused-kernel lockstep rounds
+    (the round-4 kernel/pipelining work targets exactly this regime —
+    easy batches are multistart-dominated and never show it)."""
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.io import load_cloud
+    from goicp_tpu.multipair import register_pairs
+    from goicp_tpu.geo.rotation import random_rotations
+
+    base = os.path.join(_HERE, "data", "bunny")
+    src = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.02,
+                     seed=0)
+    rng = np.random.default_rng(4)
+    pairs = []
+    for _ in range(n_pairs):
+        Q = random_rotations(1, rng)[0]
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.3
+        tgt = (
+            src @ Q.T + t
+            + rng.normal(size=src.shape).astype(np.float32) * 0.01
+        ).astype(np.float32)
+        pairs.append((src, tgt))
+    p = BnbParams(mse_threshold=2.5e-4, max_rounds=4000, max_wall_s=600)
+    register_pairs(pairs, p)                 # warmup
+    t0 = time.perf_counter()
+    res = register_pairs(pairs, p)
+    wall = time.perf_counter() - t0
+    total_nodes = sum(r.rot_nodes for r in res)
+    return {
+        "pairs": n_pairs,
+        "n_src": int(src.shape[0]),
+        "total_wall_s": round(wall, 3),
+        "total_nodes": total_nodes,
+        "nodes_per_s": round(total_nodes / wall),
+        "all_converged": bool(all(r.converged for r in res)),
+        "worst_gap": max(float(r.gap) for r in res),
+    }
+
+
 def run_multipair_trimmed(n_pairs=4, n_src=1000, overlap=650):
     """Partial-overlap lockstep: trimmed pairs (the robust serving case)
     advance through the same one-dispatch-per-round driver."""
@@ -464,6 +505,12 @@ def main():
         multipair_trimmed = {"error": f"{type(e).__name__}: {e}"}
 
     try:
+        multipair_cert = run_multipair_cert()
+    except Exception as e:
+        traceback.print_exc()
+        multipair_cert = {"error": f"{type(e).__name__}: {e}"}
+
+    try:
         serving = run_serving()
     except Exception as e:
         traceback.print_exc()
@@ -515,6 +562,7 @@ def main():
             "full_cloud_cert": full_cert,
             "multipair_lockstep": multipair,
             "multipair_trimmed_lockstep": multipair_trimmed,
+            "multipair_certification_lockstep": multipair_cert,
             "serving": serving,
             "multihost_headline": mh_headline,
             "multihost_scaling": _multihost_scaling_summary(),

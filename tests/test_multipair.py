@@ -413,3 +413,34 @@ def test_register_pairs_distributed_two_hosts(tmp_path):
         assert a["converged"] and b["converged"]
         assert a["rmse_vs_gt"] < 1e-3 and b["rmse_vs_gt"] < 1e-3
         assert np.allclose(a["R"], b["R"], atol=1e-6)
+
+
+def test_lockstep_pipelined_budget_exit(rng):
+    """The pipelined lockstep driver honors max_rounds, drains its
+    in-flight rounds, and returns well-formed (possibly non-converged)
+    results with true gaps."""
+    from goicp_tpu import multipair as mp
+
+    pairs = []
+    for _ in range(3):
+        src = (rng.random((150, 3)).astype(np.float32) - 0.5) * 0.6
+        R = random_rotation(rng)
+        t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+        tgt = (
+            src @ R.T + t
+            + rng.normal(size=src.shape).astype(np.float32) * 0.02
+        ).astype(np.float32)
+        pairs.append((src, tgt))
+    # threshold far below the noise floor: BnB must engage and then hit
+    # the round budget
+    res = mp.register_pairs(
+        pairs,
+        BnbParams(mse_threshold=1e-9, init_multistart=4, se3_pop=16,
+                  max_rounds=3, pipeline_depth=3),
+    )
+    assert len(res) == 3
+    for r in res:
+        assert r.rounds <= 3
+        assert np.isfinite(r.sse) and np.isfinite(r.gap) and r.gap >= 0
+        assert r.rot_nodes > 0            # rounds actually ran
+        assert not r.converged            # 1e-9 is unreachable
