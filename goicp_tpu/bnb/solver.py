@@ -396,13 +396,35 @@ class GoIcpSolver:
         grid=None,
         normals=None,
     ):
+        # fail fast on enum knobs: a typo would otherwise route silently
+        # (an unknown bound_backend falls through to the grid path, an
+        # unknown engine to "nested", a bad icp_metric errors deep inside
+        # the first jitted ICP trace) — ADVICE r3 generalized
         if params.icp_metric not in ("point", "plane"):
-            # fail fast: a bad string from TOML/BnbParams otherwise only
-            # errors deep inside the first jitted ICP trace, and silently
-            # skips normal estimation on the way there (ADVICE r3)
             raise ValueError(
                 f"icp_metric must be 'point' or 'plane', "
                 f"got {params.icp_metric!r}"
+            )
+        if params.engine not in ("se3", "nested"):
+            raise ValueError(
+                f"engine must be 'se3' or 'nested', got {params.engine!r}"
+            )
+        if params.bound_backend not in (
+            "auto", "mxu", "exact", "grid", "screen"
+        ):
+            raise ValueError(
+                f"bound_backend must be one of auto/mxu/exact/grid/screen, "
+                f"got {params.bound_backend!r}"
+            )
+        if params.lookup not in ("nearest", "trilinear"):
+            raise ValueError(
+                f"lookup must be 'nearest' or 'trilinear', "
+                f"got {params.lookup!r}"
+            )
+        if params.rotation_param not in _PARAMS:
+            raise ValueError(
+                f"rotation_param must be one of {sorted(_PARAMS)}, "
+                f"got {params.rotation_param!r}"
             )
         self.src_full = np.asarray(src, np.float32)
         self.src = self.src_full

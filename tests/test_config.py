@@ -92,3 +92,24 @@ def test_effective_trim_fraction():
     assert cfg.effective_trim_fraction == 0.2
     cfg = Config.from_dict({"params": {"trim": False, "trim_fraction": 0.2}})
     assert cfg.effective_trim_fraction == 0.0
+
+
+def test_bnb_params_enum_validation():
+    """Enum typos fail fast at solver construction instead of silently
+    routing to a different backend/engine (ADVICE r3, generalized)."""
+    import numpy as np
+    import pytest
+
+    from goicp_tpu.bnb import BnbParams, make_solver
+
+    src = np.zeros((10, 3), np.float32)
+    tgt = np.zeros((12, 3), np.float32)
+    for field, bad in (
+        ("icp_metric", "Plane"),
+        ("engine", "SE3"),
+        ("bound_backend", "mxU"),
+        ("lookup", "bilinear"),
+        ("rotation_param", "euler"),
+    ):
+        with pytest.raises((ValueError, KeyError)):
+            make_solver(src, tgt, BnbParams(**{field: bad}))
