@@ -375,6 +375,21 @@ class GoIcpResult:
     gap_full: Optional[float] = None   # full-cloud optimality gap
 
 
+def auto_backend(params: BnbParams, n_tgt: int) -> str:
+    """The "auto" bound-backend economics, in one place (also consulted by
+    the lockstep multipair gate): exact brute-force bounds beat O(1) grid
+    lookups up to ``mxu_max`` targets on TPU (the fused Pallas kernel's
+    pair rate) but only up to ``exact_max`` elsewhere (the XLA rate);
+    beyond that the grid backend wins."""
+    from goicp_tpu.nn.mxu import _on_tpu
+
+    if _on_tpu() and n_tgt <= params.mxu_max:
+        return "mxu"
+    if n_tgt <= params.exact_max:
+        return "exact"
+    return "grid"
+
+
 # ---------------------------------------------------------------------------
 # outer BnB
 # ---------------------------------------------------------------------------
@@ -451,14 +466,7 @@ class GoIcpSolver:
         # README.md:103-106) — and carry zero discretization slack.  On TPU
         # the fused Pallas kernel (nn.mxu) raises the exact cutoff ~60×.
         if params.bound_backend == "auto":
-            from goicp_tpu.nn.mxu import _on_tpu
-
-            if _on_tpu() and self.tgt.shape[0] <= params.mxu_max:
-                self._backend = "mxu"
-            elif self.tgt.shape[0] <= params.exact_max:
-                self._backend = "exact"
-            else:
-                self._backend = "grid"
+            self._backend = auto_backend(params, self.tgt.shape[0])
         else:
             self._backend = params.bound_backend
         # progressive-screening kernel: fused epilogue + partial-lb early

@@ -241,15 +241,14 @@ def lockstep_compatible(p: BnbParams, n_src: int, n_tgt: int) -> bool:
     """True when the lockstep driver covers this configuration.  The knobs
     it does NOT implement (grid bounds for huge targets, the nested engine,
     checkpointing, span floors) route to the per-pair solvers, which honor
-    them.  The target-size cutoff follows the solo auto-backend economics:
-    the lockstep evaluates exact brute-force bounds, which beat O(1) grid
-    lookups up to ``mxu_max`` targets on TPU (the fused-kernel pair rate)
-    but only up to ``exact_max`` elsewhere (the CPU XLA rate) — beyond
-    that the per-pair solvers' grid backend is the right engine."""
-    from goicp_tpu.nn.mxu import _on_tpu
+    them.  The target-size cutoff is the solo "auto" backend economics
+    (``bnb.solver.auto_backend``): the lockstep evaluates exact
+    brute-force bounds, so it only wins where the solo solver would also
+    choose exact/mxu over the grid."""
+    from goicp_tpu.bnb.solver import auto_backend
 
     return (
-        n_tgt <= (p.mxu_max if _on_tpu() else p.exact_max)
+        auto_backend(p, n_tgt) != "grid"
         and n_src <= p.bound_points
         and p.engine == "se3"
         and p.bound_backend != "grid"
@@ -290,39 +289,15 @@ def _bounds_one_pair(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask, h,
     pts = (
         jnp.einsum("mij,nj->mni", R, src, precision=_PREC) + t_c[:, None, :]
     )                                                       # [M,N,3]
-    d = jnp.sqrt(jnp.maximum(_exact_min_d2(pts, tgt_tiles, tgt_norm_tiles), 0.0))
-    gamma_r = rotation_displacement(ang, norms)             # [M,N]
-    gamma_t = (_SQRT3 * t_s)[:, None]
-    u = (d + slack) ** 2
-    l = jnp.maximum(
-        jnp.maximum(d - slack, 0.0) - gamma_r - gamma_t, 0.0
-    ) ** 2
-    if trim:
-        pad_inf = jnp.where(w[None, :] > 0, 0.0, jnp.float32(np.inf))
-        ub = _trimmed_sum_bisect(u + pad_inf, h, upper=True)
-        lb = _trimmed_sum_bisect(l + pad_inf, h, upper=False)
-    else:
-        ub = jnp.sum(u * w[None, :], axis=-1)
-        lb = jnp.sum(l * w[None, :], axis=-1)
-    inf = jnp.float32(np.inf)
-    return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
+    d2 = _exact_min_d2(pts, tgt_tiles, tgt_norm_tiles)
+    return _deflate_pair(d2, w, norms, slack, ang, t_s, mask, h, trim)
 
 
-def _bounds_one_pair_mxu(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask,
-                         h, trim: bool):
-    """Fused-kernel form of :func:`_bounds_one_pair`: the exact per-point
-    NN distances come from the Pallas VMEM-resident kernel
-    (``nn.mxu.min_d2_nodes`` — the solver hot path's rate class), with the
-    deflation + weighted/trimmed reductions as a thin XLA epilogue.
-    Padded source rows sit at the origin and carry weight 0 (the kernel
-    computes their distances; the epilogue masks them out), padded target
-    rows are +1e15 sentinels that never win the min."""
-    from goicp_tpu.nn import mxu as _mxu
-
-    srcT = _mxu.pack_sources(src)                           # [8, Np]
-    wm = _mxu.pack_targets(tgt)
-    params = _mxu.pack_params(R, t_c)
-    d2 = _mxu.min_d2_nodes(srcT, wm, params)                # [M, Np]
+def _deflate_pair(d2, w, norms, slack, ang, t_s, mask, h, trim: bool):
+    """Shared per-pair bound epilogue: Yang et al. eq. 10 deflation over
+    exact per-point distances ``d2 [M, Np]``, then weighted or trimmed
+    sums (padded points carry weight 0 / +inf so they neither contribute
+    nor occupy inlier slots)."""
     Np = d2.shape[1]
     wp = jnp.pad(w, (0, Np - w.shape[0]))
     norms_p = jnp.pad(norms, (0, Np - norms.shape[0]))
@@ -342,6 +317,24 @@ def _bounds_one_pair_mxu(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask,
         lb = jnp.sum(l * wp[None, :], axis=-1)
     inf = jnp.float32(np.inf)
     return jnp.where(mask, ub, inf), jnp.where(mask, lb, inf)
+
+
+def _bounds_one_pair_mxu(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask,
+                         h, trim: bool):
+    """Fused-kernel form of :func:`_bounds_one_pair`: the exact per-point
+    NN distances come from the Pallas VMEM-resident kernel
+    (``nn.mxu.min_d2_nodes`` — the solver hot path's rate class), with the
+    deflation + weighted/trimmed reductions as a thin XLA epilogue.
+    Padded source rows sit at the origin and carry weight 0 (the kernel
+    computes their distances; the epilogue masks them out), padded target
+    rows are +1e15 sentinels that never win the min."""
+    from goicp_tpu.nn import mxu as _mxu
+
+    srcT = _mxu.pack_sources(src)                           # [8, Np]
+    wm = _mxu.pack_targets(tgt)
+    params = _mxu.pack_params(R, t_c)
+    d2 = _mxu.min_d2_nodes(srcT, wm, params)                # [M, Np]
+    return _deflate_pair(d2, w, norms, slack, ang, t_s, mask, h, trim)
 
 
 @functools.partial(
@@ -647,11 +640,6 @@ def _register_pairs_lockstep(
         active = [b for b in range(P) if not converged[b] and len(fronts[b])]
         if not active:
             return None
-        R_all = np.tile(np.eye(3, dtype=np.float32), (P, M_cap, 1, 1))
-        ang_all = np.zeros((P, M_cap), np.float32)
-        t_all = np.zeros((P, M_cap, 3), np.float32)
-        ts_all = np.zeros((P, M_cap), np.float32)
-        mask_all = np.zeros((P, M_cap), bool)
         childs: dict[int, np.ndarray] = {}
         for b in active:
             pay, _, _ = fronts[b].pop_best(pop_k)
@@ -668,14 +656,8 @@ def _register_pairs_lockstep(
             child[~sr, 7] = half_t[~sr]
             keep = rotparam.valid(child[:, 0:3], child[:, 3])
             child = child[keep]
-            C = child.shape[0]
-            nodes[b] += C
+            nodes[b] += child.shape[0]
             childs[b] = child
-            R_all[b, :C] = rotparam.rotation(child[:, 0:3])
-            ang_all[b, :C] = rotparam.max_angle(child[:, 0:3], child[:, 3])
-            t_all[b, :C] = child[:, 4:7]
-            ts_all[b, :C] = child[:, 7]
-            mask_all[b, :C] = True
 
         # job-count bucketing (same trick as bnb/se3.py): ramp-up/drain
         # rounds with few live children per pair dispatch at the nearest
@@ -685,11 +667,23 @@ def _register_pairs_lockstep(
         while Mb < min(Cmax, M_cap):
             Mb *= 2
         Mb = min(Mb, M_cap)
+        R_all = np.tile(np.eye(3, dtype=np.float32), (P, Mb, 1, 1))
+        ang_all = np.zeros((P, Mb), np.float32)
+        t_all = np.zeros((P, Mb, 3), np.float32)
+        ts_all = np.zeros((P, Mb), np.float32)
+        mask_all = np.zeros((P, Mb), bool)
+        for b in active:
+            child = childs[b]
+            C = child.shape[0]
+            R_all[b, :C] = rotparam.rotation(child[:, 0:3])
+            ang_all[b, :C] = rotparam.max_angle(child[:, 0:3], child[:, 3])
+            t_all[b, :C] = child[:, 4:7]
+            ts_all[b, :C] = child[:, 7]
+            mask_all[b, :C] = True
         out = _pairs_round(
             srcs_d, wts_d, norms_d, tgts_d, tnrm_d, slack_d,
-            place(R_all[:, :Mb]), place(ang_all[:, :Mb]),
-            place(t_all[:, :Mb]), place(ts_all[:, :Mb]),
-            place(mask_all[:, :Mb]), h_d,
+            place(R_all), place(ang_all), place(t_all), place(ts_all),
+            place(mask_all), h_d,
             refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
             use_kernel=use_kernel,
         )
