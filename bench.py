@@ -176,6 +176,46 @@ def run_full_cloud_cert():
     }
 
 
+def run_grid_backend():
+    """Full-resolution skull (98k-point resident target) — the GRID bound/
+    ICP backend's hardware record (the reference's LUT analogue, C11/C18):
+    targets past ``mxu_max`` auto-route to the O(1) distance-grid path,
+    which no other bench record exercises.  Source: an 8k rigidly-moved
+    subsample; solve to the scenario threshold."""
+    from goicp_tpu.bnb import BnbParams, make_solver
+    from goicp_tpu.io import load_cloud
+    from goicp_tpu.geo.rotation import random_rotations
+
+    tgt = load_cloud(
+        os.path.join(_HERE, "data", "artec3d", "data_skull.ply"),
+        subsample=1.0, resize=0.01, seed=0,
+    )
+    rng = np.random.default_rng(3)
+    idx = rng.choice(tgt.shape[0], 8000, replace=False)
+    Q = random_rotations(1, rng)[0]
+    t = (rng.random(3).astype(np.float32) - 0.5) * 0.2
+    src = ((tgt[idx] - t) @ Q).astype(np.float32)
+    params = BnbParams(mse_threshold=1e-4, max_rounds=600)
+    s = make_solver(src, tgt, params)
+    backend = s._backend
+    s.run()                                  # warmup
+    t0 = time.perf_counter()
+    res = make_solver(src, tgt, params).run()
+    wall = time.perf_counter() - t0
+    a = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
+    b = src @ Q.T + t
+    return {
+        "n_src": int(src.shape[0]),
+        "n_tgt": int(tgt.shape[0]),
+        "backend": backend,
+        "icp_backend": s._icp_backend,
+        "wall_s": round(wall, 3),
+        "mse": float(res.mse),
+        "converged": bool(res.converged),
+        "rmse_vs_gt": float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))),
+    }
+
+
 def run_quaternion():
     """Quaternion-cube parametrization (fgoicp's native rotation space,
     ``common.h:40-60``) on bunny@0.1 — keeps mode 4's parametrization
@@ -493,6 +533,12 @@ def main():
         full_cert = {"error": f"{type(e).__name__}: {e}"}
 
     try:
+        grid_rec = run_grid_backend()
+    except Exception as e:
+        traceback.print_exc()
+        grid_rec = {"error": f"{type(e).__name__}: {e}"}
+
+    try:
         multipair = run_multipair()
     except Exception as e:
         traceback.print_exc()
@@ -560,6 +606,7 @@ def main():
             "headline_with_reference_invalid_radius": refbug,
             "quaternion_param": quat,
             "full_cloud_cert": full_cert,
+            "grid_backend_98k_target": grid_rec,
             "multipair_lockstep": multipair,
             "multipair_trimmed_lockstep": multipair_trimmed,
             "multipair_certification_lockstep": multipair_cert,
