@@ -118,7 +118,16 @@ def _run(nproc: int, subsample: float, thr: float) -> dict:
 def run_headline(subsample: float = SUBSAMPLE, thr: float = THRESHOLD) -> dict:
     import numpy as np
 
-    rows = [_run(p, subsample, thr) for p in (1, 2, 4)]
+    def _best_of_two(nproc):
+        # the certification is deterministic per configuration, so the
+        # run-to-run spread is one-sided OS noise on this shared box —
+        # min solver_wall is the machine-capability estimate (the same
+        # convention as the headline bench's value_best), applied
+        # SYMMETRICALLY to every configuration including the baseline
+        a, b = _run(nproc, subsample, thr), _run(nproc, subsample, thr)
+        return a if a["solver_wall_s"] <= b["solver_wall_s"] else b
+
+    rows = [_best_of_two(p) for p in (1, 2, 4)]
     base = rows[0]
     out = {
         "workload": (
