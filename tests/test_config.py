@@ -113,3 +113,28 @@ def test_bnb_params_enum_validation():
     ):
         with pytest.raises((ValueError, KeyError)):
             make_solver(src, tgt, BnbParams(**{field: bad}))
+
+
+def test_auto_backend_economics():
+    """ONE source of truth for the auto bound-backend cutoffs, consulted by
+    both the solo solver and the lockstep multipair gate (CPU test mesh:
+    no TPU, so the mxu tier is unreachable here)."""
+    from goicp_tpu.bnb import BnbParams
+    from goicp_tpu.bnb.solver import auto_backend
+    from goicp_tpu.multipair import lockstep_compatible
+
+    p = BnbParams()
+    assert auto_backend(p, p.exact_max) == "exact"
+    assert auto_backend(p, p.exact_max + 1) == "grid"
+    # the lockstep gate follows the same economics
+    assert lockstep_compatible(p, 100, p.exact_max)
+    assert not lockstep_compatible(p, 100, p.exact_max + 1)
+    # and the non-backend knobs it does not implement
+    import dataclasses
+
+    assert not lockstep_compatible(
+        dataclasses.replace(p, engine="nested"), 100, 100
+    )
+    assert not lockstep_compatible(
+        dataclasses.replace(p, checkpoint_path="/tmp/x"), 100, 100
+    )
