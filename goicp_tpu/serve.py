@@ -379,9 +379,15 @@ class RegistrationService:
         t0 = time.perf_counter()
         with self._lock:
             self.queries += 1
-            R, t, sse, iters = refine_fn(
+            # ONE device_get for all four outputs: separate np.asarray/
+            # float fetches each pay a full device round trip (the remote
+            # tunnel makes that ~4×20 ms — measured as most of the solo
+            # tracking latency)
+            import jax
+
+            R, t, sse, iters = jax.device_get(refine_fn(
                 jnp.asarray(src_p), T0, jnp.asarray(w)
-            )
+            ))
         sse = float(sse)
         n_eff = max(1, int(round(src.shape[0] * (1.0 - p.trim_fraction))))
         return GoIcpResult(
@@ -434,11 +440,14 @@ class RegistrationService:
         t_start = time.perf_counter()
         with self._lock:
             self.queries += B
-            Rn, tn, sse, iters = refine_fn(
+            import jax
+
+            # one fused fetch — see the note in refine()
+            Rn, tn, sse, iters = jax.device_get(refine_fn(
                 jnp.asarray(srcs),
                 RigidTransform(jnp.asarray(R0), jnp.asarray(t0v)),
                 jnp.asarray(w),
-            )
+            ))
         wall = time.perf_counter() - t_start
         Rn = np.asarray(Rn)
         tn = np.asarray(tn)
