@@ -605,13 +605,13 @@ class GoIcpSolver:
                     self._icp_params,
                     normals=self._nrm_dev,
                 )
+            # ONE device_get: separate np.asarray fetches each pay a full
+            # device round trip (~20 ms over the remote tunnel)
+            Rb_, tb_, sse_, it_ = jax.device_get(
+                (res.transform.R, res.transform.t, res.sse, res.iters)
+            )
             outs.append(
-                (
-                    np.asarray(res.transform.R)[: e - s],
-                    np.asarray(res.transform.t)[: e - s],
-                    np.asarray(res.sse)[: e - s],
-                    np.asarray(res.iters)[: e - s],
-                )
+                (Rb_[: e - s], tb_[: e - s], sse_[: e - s], it_[: e - s])
             )
         Rs = np.concatenate([o[0] for o in outs])
         ts = np.concatenate([o[1] for o in outs])
@@ -660,12 +660,12 @@ class GoIcpSolver:
                     jnp.asarray(best_R[None]), jnp.asarray(best_t[None]),
                     self._icp_params, normals=self._nrm_dev,
                 )
-            R_p = np.asarray(pres.transform.R)[0]
-            t_p = np.asarray(pres.transform.t)[0]
-            self.metrics.counters["full_polish_sse"] = float(
-                np.asarray(pres.sse)[0]
+            R_pp, t_pp, sse_pp, it_pp = jax.device_get(
+                (pres.transform.R, pres.transform.t, pres.sse, pres.iters)
             )
-            self.metrics.count("icp_iters", int(np.asarray(pres.iters)[0]))
+            R_p, t_p = R_pp[0], t_pp[0]
+            self.metrics.counters["full_polish_sse"] = float(sse_pp[0])
+            self.metrics.count("icp_iters", int(it_pp[0]))
             sse_p = float(self._score(R_p[None], t_p[None])[0])
         if sse_p <= best_sse + 0.01 * self.sse_thresh:
             return R_p, t_p, sse_p
@@ -762,16 +762,19 @@ class GoIcpSolver:
                     jnp.asarray(R0), jnp.asarray(t0), self._icp_params,
                     normals=nrm_c,
                 )
-                c_sse = np.asarray(cres.sse)
-                m.count("icp_iters", int(np.asarray(cres.iters).sum()))
+                cR, ct, c_sse, c_it = jax.device_get(
+                    (cres.transform.R, cres.transform.t, cres.sse,
+                     cres.iters)
+                )
+                m.count("icp_iters", int(c_it.sum()))
                 keep = max(16, p.refine_top_k)
                 top = np.argsort(c_sse)[:keep]
                 pinned = [0] + ([1] if init is not None else [])
                 sel = np.unique(np.concatenate([np.asarray(pinned), top]))
                 # warm full-res starts from the coarse-converged poses
                 # (pinned seeds keep their original exact starts)
-                R0w = np.asarray(cres.transform.R)[sel]
-                t0w = np.asarray(cres.transform.t)[sel]
+                R0w = cR[sel]
+                t0w = ct[sel]
                 for j, s in enumerate(sel):
                     if s in pinned:
                         R0w[j], t0w[j] = R0[s], t0[s]

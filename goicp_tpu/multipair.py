@@ -520,9 +520,12 @@ def _register_pairs_lockstep(
             rep_c, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
             params=icp_params, normals=rep_cn,
         )
+        # one fused fetch (separate np.asarray pulls each pay a device
+        # round trip through the remote tunnel)
+        Rc, tc, sse_c = jax.device_get((Tc.R, Tc.t, sse_c))
         sse_c = np.asarray(sse_c, np.float64).reshape(P, K)
-        Rc = np.array(Tc.R).reshape(P, K, 3, 3)
-        tc = np.array(Tc.t).reshape(P, K, 3)
+        Rc = Rc.reshape(P, K, 3, 3)
+        tc = tc.reshape(P, K, 3)
         keep = min(max(4, p.refine_top_k), K)
         K2 = keep + 2                     # + pinned identity / prior slots
         R0n = np.zeros((P, K2, 3, 3), np.float32)
@@ -548,10 +551,11 @@ def _register_pairs_lockstep(
         rep_pairs, inits=RigidTransform(jnp.asarray(R0), jnp.asarray(t0)),
         params=icp_params, normals=rep_nrm, pad_src_to=N,
     )
+    T0R, T0t, sse0 = jax.device_get((T0.R, T0.t, sse0))   # one fused fetch
     sse0 = np.asarray(sse0, np.float64).reshape(P, K)
     jbest = np.argmin(sse0, axis=1)
-    best_R = np.array(T0.R).reshape(P, K, 3, 3)[np.arange(P), jbest]
-    best_t = np.array(T0.t).reshape(P, K, 3)[np.arange(P), jbest]
+    best_R = T0R.reshape(P, K, 3, 3)[np.arange(P), jbest]
+    best_t = T0t.reshape(P, K, 3)[np.arange(P), jbest]
     best_sse = sse0[np.arange(P), jbest].copy()
 
     rotparam = _PARAMS[p.rotation_param]   # axis-angle (jly) or quat cube
