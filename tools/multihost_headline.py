@@ -72,6 +72,12 @@ def _run(nproc: int, subsample: float, thr: float) -> dict:
         outs.append(out)
         cmd = [
             "taskset", "-c", str(pid),
+            # the embedding process (bench.py + the TPU tunnel helper)
+            # idles on subprocess.wait during the sweep but still steals
+            # cycles on this 4-core box — measured ~15% 4-proc inflation
+            # vs a standalone sweep.  Prioritize the pinned workers
+            # (root, so negative nice is available; harmless otherwise).
+            "nice", "-n", "-10",
             sys.executable, WORKER, str(pid), str(nproc), str(port), out,
             str(subsample), str(thr),
         ]
@@ -127,7 +133,23 @@ def run_headline(subsample: float = SUBSAMPLE, thr: float = THRESHOLD) -> dict:
         a, b = _run(nproc, subsample, thr), _run(nproc, subsample, thr)
         return a if a["solver_wall_s"] <= b["solver_wall_s"] else b
 
-    rows = [_best_of_two(p) for p in (1, 2, 4)]
+    # when embedded in bench.py the parent (and its TPU-tunnel helper
+    # threads) idles on subprocess.wait but still competes for the 4
+    # cores the workers are pinned to; deprioritize it for the sweep
+    # (workers additionally run at nice -10 — see _run)
+    prio0 = os.getpriority(os.PRIO_PROCESS, 0)
+    try:
+        os.setpriority(os.PRIO_PROCESS, 0, 19)
+    except OSError:
+        prio0 = None
+    try:
+        rows = [_best_of_two(p) for p in (1, 2, 4)]
+    finally:
+        if prio0 is not None:
+            try:
+                os.setpriority(os.PRIO_PROCESS, 0, prio0)
+            except OSError:
+                pass
     base = rows[0]
     out = {
         "workload": (
