@@ -699,7 +699,10 @@ class GoIcpSolver:
         # gap = -inf means the frontier emptied (fully covered search):
         # every region was pruned at ≥ best − ε, so the effective gap is 0
         g = max(gap, 0.0) if math.isfinite(gap) else 0.0
-        sub_opt_lb = best_sse - max(g, self.sse_thresh)
+        # Pruned regions were cut against the PRE-polish incumbent, and
+        # ``_full_polish`` may have accepted a pose up to +0.01·ε above it —
+        # so the subset-optimum bound must carry that acceptance slack too.
+        sub_opt_lb = best_sse - max(g, self.sse_thresh) - 0.01 * self.sse_thresh
         return sse_full, mse_full, float(
             max(sse_full - max(sub_opt_lb, 0.0), 0.0)
         )

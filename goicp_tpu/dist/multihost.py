@@ -605,7 +605,12 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             )
             allr = _allgather_np(rec)                      # [P, 16]
             j = int(np.argmin(allr[:, 0]))
-            if float(allr[j, 0]) < best_sse:
+            if float(allr[j, 0]) <= best_sse:
+                # Adopt row j UNCONDITIONALLY on ties: on an exact f32 sse
+                # tie between processes holding different poses, a strict <
+                # would leave the tying process with its own pose while the
+                # others adopt j's — breaking the cross-process bit-identical
+                # pose invariant the headline record asserts.
                 best_sse = float(allr[j, 0])
                 best_R = allr[j, 1:10].reshape(3, 3)
                 best_t = allr[j, 10:13]
