@@ -340,6 +340,14 @@ class BnbParams:
     mesh_points: int = 1             # devices over the point axis (psum-
                                      # reduced bound sums; composes with
                                      # mesh_cubes as a 2-D mesh)
+    escalate_mse: Optional[float] = None
+                                     # SERVING-ONLY tracking-loss threshold
+                                     # (the solver itself ignores it): a
+                                     # tracking refine whose mse exceeds it
+                                     # auto-escalates to a prior-seeded
+                                     # goicp solve (serving/service.py
+                                     # _escalate — ≙ the reference's manual
+                                     # solver-mode handoff, main.cpp:125-135)
 
 
 @dataclasses.dataclass
@@ -373,6 +381,9 @@ class GoIcpResult:
     sse_full: Optional[float] = None   # (trimmed) SSE of the FULL cloud
     mse_full: Optional[float] = None   # sse_full / h_full
     gap_full: Optional[float] = None   # full-cloud optimality gap
+    escalated: bool = False            # serving: tracking query diverged and
+                                       # was auto-escalated to this certified
+                                       # goicp solve (serve docs)
 
 
 def auto_backend(params: BnbParams, n_tgt: int) -> str:

@@ -17,7 +17,9 @@ resident and warm between queries:
   target) — P queries cost barely more wall than one.
 
 Protocol: line-delimited JSON on stdio or TCP (``python -m goicp_tpu serve
-target.ply --port 7345``).  One request per line:
+target.ply --port 7345``).  With ``--auth-token`` (or ``$GOICP_AUTH_TOKEN``)
+each TCP connection first sends ``{"auth": "<token>"}``; then one request
+per line:
 
     {"id": 1, "source": "scan.ply", "subsample": 0.5}
     {"id": 2, "points": [[x, y, z], ...]}
@@ -26,6 +28,11 @@ target.ply --port 7345``).  One request per line:
                                        # multistart seed (still optimal)
     {"id": 4, "points": [...], "mode": "icp", "init": {...}}
                                        # tracking path: local ICP only
+    {"id": 5, "points": [...], "mode": "icp", "init": {...},
+     "escalate_mse": 1e-3}             # tracking with loss escalation: if
+                                       # the refine lands above that mse the
+                                       # query re-queues into the certified
+                                       # goicp lane ("escalated": true)
     {"batch": [{...}, {...}]}          # explicit batch (icp-mode items share
                                        # one vmapped refine; goicp items one
                                        # lockstep BnB)
@@ -35,1072 +42,41 @@ Response per request (same order; ``id`` echoed):
 
     {"id": 1, "ok": true, "R": [[...]x3], "t": [...], "mse": ..,
      "sse": .., "converged": true, "gap": .., "nodes": .., "wall_s": ..}
+
+The implementation lives in the :mod:`goicp_tpu.serving` package (state /
+protocol / tcp / cli split); this module is the stable public import path.
 """
 
-from __future__ import annotations
-
-import dataclasses
-import json
-import queue
-import threading
-import time
-from typing import IO, List, Optional, Sequence
-
-import numpy as np
-
-from goicp_tpu.bnb import BnbParams, GoIcpResult, make_solver
-from goicp_tpu.core.logging import get_logger
-from goicp_tpu.core.metrics import Metrics
-from goicp_tpu.core.types import RigidTransform
-from goicp_tpu.io import load_cloud
-from goicp_tpu.nn.grid import build_distance_grid
-
-_QUERY_KEYS = (
-    "source", "points", "subsample", "seed", "resize", "id", "init", "mode",
-    "target",
+from goicp_tpu.serving import (  # noqa: F401  (re-export surface)
+    Batcher,
+    MultiTargetService,
+    RegistrationService,
+    handle_request,
+    main,
+    serve_stdio,
+    serve_tcp,
 )
-# per-query BnbParams overrides accepted over the wire (whitelist: the
-# solve-semantics knobs a client may tune; device/engine topology stays
-# operator-controlled)
-_PARAM_KEYS = (
-    "mse_threshold", "trim_fraction", "max_rounds", "max_wall_s",
-    "init_multistart", "icp_metric",
+from goicp_tpu.serving.protocol import (  # noqa: F401  (test/tool hooks)
+    _error_json,
+    _load_query_source,
+    _mode,
+    _overrides,
+    _parse_init,
+    _result_json,
+    _validate_keys,
 )
-
-
-class RegistrationService:
-    """Holds one target resident; registers query sources against it.
-
-    ``params`` are the solve defaults (per-query overrides via the
-    whitelisted keys).  The distance field is built once at the service's
-    ``grid_resolution`` with nearest-index payload, so every backend the
-    per-query solver picks (grid bounds, grid ICP correspondences, or the
-    vestigial field of the exact/MXU paths) reuses it.
-    """
-
-    def __init__(
-        self,
-        target: np.ndarray,
-        params: BnbParams = BnbParams(),
-        name: str = "target",
-        source_root: Optional[str] = None,
-        max_points: int = 1 << 20,
-        bucket_shapes: bool = True,
-        icp_cache_size: int = 16,
-    ):
-        self.tgt = np.asarray(target, np.float32)
-        self.params = params
-        self.name = name
-        # filesystem policy for {"source": <path>} queries: None = any path
-        # (trusted local stdio), "" = paths disabled (send "points"), a
-        # directory = queries confined under it (the TCP default is "")
-        self.source_root = source_root
-        # resource-growth hardening (VERDICT r3 weak #2): a TCP client must
-        # not be able to force unbounded device allocs or compile-cache
-        # churn.  max_points rejects oversized queries with error records;
-        # bucket_shapes pads query sizes to powers of two (weight-0 rows —
-        # exact) so one compiled executable serves every size in a bucket;
-        # icp_cache_size LRU-caps the per-override tracking-path cache.
-        self.max_points = int(max_points)
-        self.bucket_shapes = bool(bucket_shapes)
-        self.icp_cache_size = max(1, int(icp_cache_size))
-        self.log = get_logger()
-        self._lock = threading.Lock()   # one device, one solve at a time
-        # separate (reentrant — _icp_setup calls _normals) lock for the
-        # host-side caches: library callers may hit refine()/_icp_setup
-        # from several threads before reaching the device lock
-        self._cache_lock = threading.RLock()
-        self.queries = 0
-        self._tgt_dev = None            # device-resident target, first use
-        self._nrm_dev: dict = {}        # normals_k -> device target normals
-        self._nrm_host: dict = {}       # normals_k -> host copy (lockstep)
-        from collections import OrderedDict
-
-        self._icp_cache: "OrderedDict" = OrderedDict()
-                                        # (params key) -> (IcpParams, corr,
-                                        # refine_fn); LRU, bounded
-        t0 = time.perf_counter()
-        self.grid = build_distance_grid(
-            self.tgt,
-            n=params.grid_resolution,
-            expand=params.grid_expand,
-            method=params.grid_method,
-            with_index=True,
-        )
-        import jax
-
-        jax.block_until_ready(self.grid.values)
-        self.log.info(
-            "service '%s': target %d pts resident, %d³ field built in %.2fs",
-            name, self.tgt.shape[0], int(self.grid.values.shape[0]),
-            time.perf_counter() - t0,
-        )
-
-    def resolve(self, name: Optional[str] = None) -> "RegistrationService":
-        """Single-target service: accepts only its own name (or none)."""
-        if name is None or name == self.name:
-            return self
-        raise ValueError(
-            f"unknown target {name!r}; this server serves only {self.name!r}"
-        )
-
-    def _params(self, overrides: Optional[dict] = None) -> BnbParams:
-        if not overrides:
-            return self.params
-        bad = set(overrides) - set(_PARAM_KEYS)
-        if bad:
-            raise ValueError(f"unknown/forbidden param override(s): {sorted(bad)}")
-        # fail fast on client-supplied enum values: a bad string otherwise
-        # only errors deep inside the jitted refine trace AND leaves a dead
-        # entry in _icp_cache keyed on it (client-controlled growth on TCP)
-        if overrides.get("icp_metric", "point") not in ("point", "plane"):
-            raise ValueError(
-                f"icp_metric must be 'point' or 'plane', "
-                f"got {overrides['icp_metric']!r}"
-            )
-        return dataclasses.replace(self.params, **overrides)
-
-    @staticmethod
-    def _bucket(n: int) -> int:
-        """Shape bucket: the next size in {128, 192, 256, 384, 512, …}
-        (powers of two interleaved with 1.5×) ≥ n.  One compiled
-        executable serves every query size under the bucket (padded rows
-        carry weight 0 — exact); the 1.5× steps cap the padded-compute
-        waste at 33% (pure powers of two cost up to 2× — measured on the
-        batch lane: 1200-point queries padded to 2048 ran 0.27 s/query
-        vs 0.19 unbucketed)."""
-        b = 128
-        while True:
-            if n <= b:
-                return b
-            if n <= b + b // 2:
-                return b + b // 2
-            b *= 2
-
-    def _check_points(self, sources: Sequence[np.ndarray]):
-        for s in sources:
-            if s.shape[0] > self.max_points:
-                raise ValueError(
-                    f"query has {s.shape[0]} points; this server caps "
-                    f"queries at {self.max_points} (operator: --max-points)"
-                )
-
-    def register(
-        self,
-        src: np.ndarray,
-        init: Optional[RigidTransform] = None,
-        **overrides,
-    ) -> GoIcpResult:
-        """One globally-optimal solve against the resident target.  ``init``
-        (a re-localization prior) is pinned as a multistart seed — the solve
-        stays globally optimal either way."""
-        return self.register_batch(
-            [np.asarray(src, np.float32)], inits=[init], **overrides
-        )[0]
-
-    def register_batch(
-        self,
-        sources: Sequence[np.ndarray],
-        inits: Optional[Sequence[Optional[RigidTransform]]] = None,
-        **overrides,
-    ) -> List[GoIcpResult]:
-        """Micro-batched solve: all queries advance in lockstep — one fused
-        device dispatch per BnB round (``multipair``'s lockstep driver
-        against the shared target).  ``icp_metric="plane"`` rides the
-        lockstep end-to-end (resident normals, paid once); ``inits`` are
-        per-query re-localization priors, pinned as multistart seeds per
-        pair — the solves stay globally optimal.
-
-        With ``bucket_shapes`` (the default) single queries route through
-        the same lockstep driver padded to a power-of-two bucket, so a
-        client cycling query sizes reuses a handful of compiled
-        executables instead of compiling per size (and the single-query
-        lockstep is the measured-faster path for serving-shaped targets).
-        Configurations the lockstep does not cover — huge targets (grid
-        bounds), the nested engine, span floors — fall back to the
-        per-query solver, which compiles per exact shape."""
-        from goicp_tpu.multipair import (
-            _register_pairs_lockstep,
-            lockstep_compatible,
-            register_pairs,
-        )
-
-        if not sources:
-            return []
-        p = self._params(overrides)
-        sources = [np.asarray(s, np.float32) for s in sources]
-        self._check_points(sources)
-        n_max = max(s.shape[0] for s in sources)
-        use_lockstep = (
-            (len(sources) >= 2 or self.bucket_shapes)
-            and lockstep_compatible(p, n_max, self.tgt.shape[0])
-        )
-        with self._lock:
-            self.queries += len(sources)
-            if use_lockstep:
-                return _register_pairs_lockstep(
-                    [(s, self.tgt) for s in sources], p,
-                    tgt_normals=self._normals_host(p), inits=inits,
-                    pad_src_to=(
-                        self._bucket(n_max) if self.bucket_shapes else None
-                    ),
-                )
-            if len(sources) == 1:
-                return [
-                    make_solver(
-                        sources[0], self.tgt, p, grid=self.grid,
-                        normals=self._normals(p),
-                    ).run(None if inits is None else inits[0])
-                ]
-            return register_pairs(
-                [(s, self.tgt) for s in sources], p, solver_grid=self.grid,
-                tgt_normals=self._normals_host(p), inits=inits,
-            )
-
-    def _normals(self, p: BnbParams):
-        """Resident target normals for plane-metric refinement, computed
-        once per ``normals_k`` and reused by every query (solver
-        construction takes them via ``make_solver(..., normals=)``)."""
-        if p.icp_metric != "plane":
-            return None
-        with self._cache_lock:
-            normals = self._nrm_dev.get(p.normals_k)
-            if normals is None:
-                import jax.numpy as jnp
-
-                from goicp_tpu.geo.normals import estimate_normals
-
-                if self._tgt_dev is None:
-                    self._tgt_dev = jnp.asarray(self.tgt)
-                normals = estimate_normals(self._tgt_dev, k=p.normals_k)
-                self._nrm_dev[p.normals_k] = normals
-            return normals
-
-    def _normals_host(self, p: BnbParams):
-        """Host copy of the resident normals for the lockstep driver —
-        fetched from device ONCE per ``normals_k``, not per batch."""
-        if p.icp_metric != "plane":
-            return None
-        with self._cache_lock:
-            h = self._nrm_host.get(p.normals_k)
-            if h is None:
-                h = np.asarray(self._normals(p), np.float32)
-                self._nrm_host[p.normals_k] = h
-            return h
-
-    def _icp_setup(self, p: BnbParams):
-        """(IcpParams, correspondence closure) for the tracking path —
-        cached per parameter key, with the target uploaded to device ONCE
-        (the resident-state contract in docs/SERVING.md)."""
-        key = (
-            p.icp_max_iter, p.icp_rel_tol, p.mse_threshold,
-            p.trim_fraction, p.icp_exact_max, p.icp_metric, p.normals_k,
-        )
-        with self._cache_lock:
-            return self._icp_setup_locked(p, key)
-
-    def _icp_setup_locked(self, p: BnbParams, key):
-        hit = self._icp_cache.get(key)
-        if hit is not None:
-            self._icp_cache.move_to_end(key)   # LRU refresh
-            return hit
-
-        import jax.numpy as jnp
-
-        from goicp_tpu.icp import (
-            IcpParams,
-            exact_correspondence,
-            grid_correspondence,
-        )
-
-        if self._tgt_dev is None:
-            self._tgt_dev = jnp.asarray(self.tgt)
-        normals = self._normals(p)
-        ip = IcpParams(
-            max_iter=p.icp_max_iter,
-            rel_tol=min(p.icp_rel_tol, p.mse_threshold),
-            trim_fraction=p.trim_fraction,
-            metric=p.icp_metric,
-        )
-        corr = (
-            exact_correspondence(self._tgt_dev, normals=normals)
-            if self.tgt.shape[0] <= p.icp_exact_max
-            # the resident grid: O(1) correspondences per iteration
-            else grid_correspondence(self.grid, self._tgt_dev, normals=normals)
-        )
-
-        import jax
-
-        from goicp_tpu.icp import run_icp
-
-        # jit the refine closure: an eager run_icp pays ~0.1-0.2 s of
-        # per-call TRACING (measured A/B on hardware) — fatal for the
-        # millisecond tracking path this serves
-        @jax.jit
-        def refine_fn(srcs, T0, w):
-            res = run_icp(srcs, corr, T0, ip, point_weights=w)
-            return res.transform.R, res.transform.t, res.sse, res.iters
-
-        self._icp_cache[key] = (ip, corr, refine_fn)
-        while len(self._icp_cache) > self.icp_cache_size:
-            # evict LRU: dropping the jitted closure releases its compile
-            # cache too (the jit cache is per-function-object), so wire-
-            # overridable float keys (mse_threshold/trim_fraction) cannot
-            # grow device/host memory without bound (VERDICT r3 weak #2)
-            old_key, _ = self._icp_cache.popitem(last=False)
-            self.log.info("icp cache evicted %s (cap %d)", old_key,
-                          self.icp_cache_size)
-        return self._icp_cache[key]
-
-    def refine(
-        self,
-        src: np.ndarray,
-        init: Optional[RigidTransform] = None,
-        **overrides,
-    ) -> GoIcpResult:
-        """Local-only ICP refinement from ``init`` (the tracking path: a
-        good prior exists, no global certification wanted — ≙ the
-        reference's per-frame ICP modes, ``icp_kernel.cu:48-217``)."""
-        import jax.numpy as jnp
-
-        p = self._params(overrides)
-        ip, corr, refine_fn = self._icp_setup(p)
-        T0 = init if init is not None else RigidTransform.identity()
-        src = np.asarray(src, np.float32)
-        self._check_points([src])
-        n = src.shape[0]
-        # shape bucketing: weight-0 padded rows keep the refine exact while
-        # one compiled executable serves every size under the bucket
-        W = self._bucket(n) if self.bucket_shapes else n
-        src_p = np.zeros((W, 3), np.float32)
-        src_p[:n] = src
-        w = np.zeros(W, np.float32)
-        w[:n] = 1.0
-        t0 = time.perf_counter()
-        with self._lock:
-            self.queries += 1
-            # ONE device_get for all four outputs: separate np.asarray/
-            # float fetches each pay a full device round trip (the remote
-            # tunnel makes that ~4×20 ms — measured as most of the solo
-            # tracking latency)
-            import jax
-
-            R, t, sse, iters = jax.device_get(refine_fn(
-                jnp.asarray(src_p), T0, jnp.asarray(w)
-            ))
-        sse = float(sse)
-        n_eff = max(1, int(round(src.shape[0] * (1.0 - p.trim_fraction))))
-        return GoIcpResult(
-            transform=RigidTransform(np.asarray(R), np.asarray(t)),
-            sse=sse,
-            mse=sse / n_eff,
-            converged=sse / n_eff <= p.mse_threshold,
-            gap=0.0,
-            rot_nodes=0,
-            trans_nodes=0,
-            icp_iters=int(iters),
-            rounds=0,
-            wall_s=time.perf_counter() - t0,
-            metrics=Metrics(),
-        )
-
-    def refine_batch(
-        self,
-        sources: Sequence[np.ndarray],
-        inits: Optional[Sequence[Optional[RigidTransform]]] = None,
-        **overrides,
-    ) -> List[GoIcpResult]:
-        """Batched tracking: every query refines in ONE batched dispatch
-        against the SHARED resident correspondence (exact NN, or the
-        resident O(1) grid for large targets) — the target is neither
-        re-uploaded nor tiled per query."""
-        import jax.numpy as jnp
-
-        if not sources:
-            return []
-        p = self._params(overrides)
-        ip, corr, refine_fn = self._icp_setup(p)
-        sources = [np.asarray(s, np.float32) for s in sources]
-        self._check_points(sources)
-        B = len(sources)
-        N = max(s.shape[0] for s in sources)
-        if self.bucket_shapes:
-            N = self._bucket(N)
-        srcs = np.zeros((B, N, 3), np.float32)
-        w = np.zeros((B, N), np.float32)
-        for b, s in enumerate(sources):
-            srcs[b, : s.shape[0]] = s
-            w[b, : s.shape[0]] = 1.0
-        R0 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-        t0v = np.zeros((B, 3), np.float32)
-        for b, T in enumerate(inits or []):
-            if T is not None:
-                R0[b] = np.asarray(T.R, np.float32)
-                t0v[b] = np.asarray(T.t, np.float32)
-        t_start = time.perf_counter()
-        with self._lock:
-            self.queries += B
-            import jax
-
-            # one fused fetch — see the note in refine()
-            Rn, tn, sse, iters = jax.device_get(refine_fn(
-                jnp.asarray(srcs),
-                RigidTransform(jnp.asarray(R0), jnp.asarray(t0v)),
-                jnp.asarray(w),
-            ))
-        wall = time.perf_counter() - t_start
-        Rn = np.asarray(Rn)
-        tn = np.asarray(tn)
-        sse = np.asarray(sse, np.float64)
-        iters = np.asarray(iters)
-        out = []
-        for b, s in enumerate(sources):
-            n_eff = max(1, int(round(s.shape[0] * (1.0 - p.trim_fraction))))
-            mse = float(sse[b]) / n_eff
-            out.append(GoIcpResult(
-                transform=RigidTransform(Rn[b], tn[b]),
-                sse=float(sse[b]),
-                mse=mse,
-                converged=mse <= p.mse_threshold,
-                gap=0.0,
-                rot_nodes=0,
-                trans_nodes=0,
-                icp_iters=int(iters[b]),
-                rounds=0,
-                wall_s=wall,
-                metrics=Metrics(),
-            ))
-        return out
-
-    def warmup(self, n_src: int, seed: int = 0) -> GoIcpResult:
-        """Populate jit + persistent-compile caches for queries of size
-        ``n_src`` (synthetic source: a rigidly-moved target subsample)."""
-        from goicp_tpu.geo.rotation import random_rotations
-
-        rng = np.random.default_rng(seed)
-        # exactly n_src points (sampling with replacement past the target
-        # size): the jit cache is keyed on the query SHAPE, so warming any
-        # other size would not help the first real n_src-point query
-        idx = rng.choice(self.tgt.shape[0], n_src,
-                         replace=n_src > self.tgt.shape[0])
-        Q = random_rotations(1, rng)[0]
-        src = (self.tgt[idx] @ Q.T).astype(np.float32)
-        t0 = time.perf_counter()
-        res = self.register(src)
-        self.log.info(
-            "warmup n=%d: %.2fs (converged=%s)", n_src,
-            time.perf_counter() - t0, res.converged,
-        )
-        return res
-
-    def info(self) -> dict:
-        import jax
-
-        return {
-            "ok": True,
-            "service": self.name,
-            "target_points": int(self.tgt.shape[0]),
-            "grid_resolution": int(self.grid.values.shape[0]),
-            "queries_served": self.queries,
-            "max_points": self.max_points,
-            "bucket_shapes": self.bucket_shapes,
-            "devices": [str(d) for d in jax.devices()],
-            "defaults": {k: getattr(self.params, k) for k in _PARAM_KEYS},
-        }
-
-
-class MultiTargetService:
-    """A model zoo: several resident targets behind one protocol endpoint.
-
-    Queries pick a map with ``"target": "<name>"`` (default: the first).
-    Each named target is a full :class:`RegistrationService` (own distance
-    field, own jit-warm state); the device lock inside each service keeps
-    solves serialized across targets too (same chip).
-    """
-
-    def __init__(self, services: dict, default: Optional[str] = None):
-        if not services:
-            raise ValueError("need at least one target service")
-        self.services = dict(services)
-        self.default = default or next(iter(self.services))
-        if self.default not in self.services:
-            raise ValueError(f"default target {self.default!r} not served")
-        self.name = f"zoo({', '.join(sorted(self.services))})"
-        # one chip ⇒ one device lock shared across every target's service
-        # (the cross-target serialization the class contract promises)
-        shared = threading.Lock()
-        for svc in self.services.values():
-            svc._lock = shared
-
-    @property
-    def source_root(self):
-        return self.services[self.default].source_root
-
-    def resolve(self, name: Optional[str] = None) -> RegistrationService:
-        key = name if name is not None else self.default
-        svc = self.services.get(key)
-        if svc is None:
-            raise ValueError(
-                f"unknown target {key!r}; serving {sorted(self.services)}"
-            )
-        return svc
-
-    def info(self) -> dict:
-        # superset of the single-target response shape: clients reading
-        # service/devices/defaults keep working when a second target appears
-        base = self.services[self.default].info()
-        base.update(
-            service=self.name,
-            default=self.default,
-            targets={
-                k: {
-                    "target_points": int(v.tgt.shape[0]),
-                    "grid_resolution": int(v.grid.values.shape[0]),
-                    "queries_served": v.queries,
-                }
-                for k, v in self.services.items()
-            },
-        )
-        return base
-
-
-# ---------------------------------------------------------------------------
-# wire protocol
-# ---------------------------------------------------------------------------
-
-
-def _validate_keys(req: dict):
-    unknown = set(req) - set(_QUERY_KEYS) - set(_PARAM_KEYS)
-    if unknown:
-        raise ValueError(f"unknown request key(s): {sorted(unknown)}")
-
-
-def _load_query_source(
-    req: dict,
-    source_root: Optional[str] = None,
-    max_points: Optional[int] = None,
-) -> np.ndarray:
-    if "points" in req:
-        if max_points is not None and len(req["points"]) > max_points:
-            # reject BEFORE materializing the array (bounded device/host
-            # allocation under client control — VERDICT r3 weak #2)
-            raise ValueError(
-                f"query has {len(req['points'])} points; this server caps "
-                f"queries at {max_points} (operator: --max-points)"
-            )
-        pts = np.asarray(req["points"], np.float32)
-        if pts.ndim != 2 or pts.shape[1] != 3:
-            raise ValueError(f"points must be [N,3], got {pts.shape}")
-        return pts * float(req.get("resize", 1.0))
-    if "source" in req:
-        import os
-
-        path = str(req["source"])
-        if source_root == "":
-            raise ValueError(
-                "filesystem 'source' queries are disabled on this server; "
-                "send inline 'points' (operator: --source-root enables paths)"
-            )
-        if source_root is not None:
-            root = os.path.realpath(source_root)
-            real = os.path.realpath(os.path.join(root, path))
-            if not (real + os.sep).startswith(root + os.sep):
-                raise ValueError("source path escapes the served root")
-            path = real
-        return load_cloud(
-            path,
-            subsample=float(req.get("subsample", 1.0)),
-            resize=float(req.get("resize", 1.0)),
-            seed=int(req.get("seed", 0)),
-        )
-    raise ValueError("request needs 'source' (path) or 'points'")
-
-
-def _result_json(req: dict, res: GoIcpResult) -> dict:
-    out = {
-        "id": req.get("id"),
-        "ok": True,
-        "R": np.asarray(res.transform.R, np.float64).round(9).tolist(),
-        "t": np.asarray(res.transform.t, np.float64).round(9).tolist(),
-        "sse": float(res.sse),
-        "mse": float(res.mse),
-        "converged": bool(res.converged),
-        "gap": float(res.gap),
-        "nodes": int(res.rot_nodes),
-        "icp_iters": int(res.icp_iters),
-        "wall_s": round(float(res.wall_s), 4),
-    }
-    # full-cloud certificate (bound_points-capped solves only)
-    for k in ("sse_full", "mse_full", "gap_full"):
-        v = getattr(res, k, None)
-        if v is not None:
-            out[k] = float(v)
-    return out
-
-
-def _error_json(req, err: Exception) -> dict:
-    rid = req.get("id") if isinstance(req, dict) else None
-    return {"id": rid, "ok": False, "error": f"{type(err).__name__}: {err}"}
-
-
-def _overrides(req: dict) -> dict:
-    return {k: req[k] for k in _PARAM_KEYS if k in req}
-
-
-def _parse_init(req: dict) -> Optional[RigidTransform]:
-    """Optional ``"init": {"R": [[..]x3], "t": [..]}`` prior pose."""
-    obj = req.get("init")
-    if obj is None:
-        return None
-    R = np.asarray(obj["R"], np.float32)
-    t = np.asarray(obj.get("t", [0.0, 0.0, 0.0]), np.float32)
-    if R.shape != (3, 3) or t.shape != (3,):
-        raise ValueError(f"init shapes must be R[3,3], t[3]; got {R.shape}, {t.shape}")
-    if (
-        not np.allclose(R @ R.T, np.eye(3), atol=1e-3)
-        or abs(float(np.linalg.det(R)) - 1.0) > 1e-3
-    ):
-        raise ValueError("init.R is not a rotation (orthonormal, det=+1)")
-    return RigidTransform(R, t)
-
-
-def _mode(req: dict) -> str:
-    m = req.get("mode", "goicp")
-    if m not in ("goicp", "icp"):
-        raise ValueError(f"mode must be 'goicp' or 'icp', got {m!r}")
-    return m
-
-
-def handle_request(service: RegistrationService, req: dict) -> dict | list:
-    """One decoded request → one JSON-serializable response (or a list for
-    ``batch`` requests).  Raises nothing: errors come back as records."""
-    try:
-        if not isinstance(req, dict):
-            raise ValueError("request must be a JSON object")
-        if req.get("cmd") == "info" or req.get("cmd") == "ping":
-            return service.info()
-        if "cmd" in req:
-            raise ValueError(f"unknown cmd {req['cmd']!r}")
-        if "batch" in req:
-            unknown = set(req) - {"batch", "id"} - set(_PARAM_KEYS)
-            if unknown:
-                raise ValueError(
-                    f"unknown batch-envelope key(s): {sorted(unknown)}"
-                )
-            subs = req["batch"]
-            ov = _overrides(req)
-            # Batch-level overrides apply to every item; a per-item override
-            # can't join a lockstep lane (everything in a lane shares one
-            # dispatch), so override-bearing items answer solo with their
-            # merged overrides — the same contract as the TCP Batcher.
-            # Lanes: icp-mode queries share one vmapped refine dispatch;
-            # goicp queries — with or without an init prior (per-pair
-            # multistart seeds) — share the lockstep BnB.
-            out: list = [None] * len(subs)
-            # lanes are (kind, target-service): a lockstep lane shares one
-            # dispatch, so it must share a target too
-            lanes: dict = {}
-            parsed = {}
-            for i, sub in enumerate(subs):
-                try:
-                    _validate_keys(sub)
-                    svc = service.resolve(sub.get("target"))
-                    src = _load_query_source(sub, svc.source_root, svc.max_points)
-                    init = _parse_init(sub)
-                    m = _mode(sub)
-                    iov = {**ov, **_overrides(sub)}
-                    parsed[i] = (svc, src, init, m, iov)
-                    kind = "solo" if _overrides(sub) else m
-                    lanes.setdefault((kind, id(svc)), []).append(i)
-                except Exception as e:  # per-item isolation
-                    out[i] = _error_json(sub, e)
-            for (kind, _), idxs in lanes.items():
-                svc = parsed[idxs[0]][0]
-                if kind == "icp":
-                    results = svc.refine_batch(
-                        [parsed[i][1] for i in idxs],
-                        inits=[parsed[i][2] for i in idxs],
-                        **ov,
-                    )
-                elif kind == "goicp":
-                    results = svc.register_batch(
-                        [parsed[i][1] for i in idxs],
-                        inits=[parsed[i][2] for i in idxs],
-                        **ov,
-                    )
-                else:
-                    results = []
-                    for i in idxs:
-                        svc_i, src, init, m, iov = parsed[i]
-                        fn = svc_i.refine if m == "icp" else svc_i.register
-                        results.append(fn(src, init, **iov))
-                for i, res in zip(idxs, results):
-                    out[i] = _result_json(subs[i], res)
-            return out
-        _validate_keys(req)
-        svc = service.resolve(req.get("target"))
-        src = _load_query_source(req, svc.source_root, svc.max_points)
-        init = _parse_init(req)
-        if _mode(req) == "icp":
-            res = svc.refine(src, init, **_overrides(req))
-        else:
-            res = svc.register(src, init, **_overrides(req))
-        return _result_json(req, res)
-    except Exception as e:
-        return _error_json(req, e)
-
-
-def serve_stdio(service: RegistrationService, inp: IO, out: IO) -> int:
-    """Line-delimited JSON loop on arbitrary text streams (stdio mode).
-    Returns the number of requests served.  ``{"cmd": "shutdown"}`` ends."""
-    n = 0
-    for line in inp:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-        except json.JSONDecodeError as e:
-            out.write(json.dumps(_error_json(None, e)) + "\n")
-            out.flush()
-            continue
-        if isinstance(req, dict) and req.get("cmd") == "shutdown":
-            out.write(json.dumps({"ok": True, "shutdown": True}) + "\n")
-            out.flush()
-            break
-        resp = handle_request(service, req)
-        if isinstance(resp, list):
-            for r in resp:
-                out.write(json.dumps(r) + "\n")
-        else:
-            out.write(json.dumps(resp) + "\n")
-        out.flush()
-        n += 1
-    return n
-
-
-# ---------------------------------------------------------------------------
-# TCP server with cross-connection micro-batching
-# ---------------------------------------------------------------------------
-
-
-class _Pending:
-    __slots__ = ("req", "event", "resp")
-
-    def __init__(self, req):
-        self.req = req
-        self.event = threading.Event()
-        self.resp = None
-
-
-class Batcher(threading.Thread):
-    """Drains queued single-register requests into lockstep batches.
-
-    Waits ``window_s`` after the first request for stragglers, takes up to
-    ``max_batch``, loads the sources, and runs ONE
-    :meth:`RegistrationService.register_batch`.  Requests with param
-    overrides, info commands, or load errors are answered individually.
-    """
-
-    def __init__(self, service: RegistrationService, max_batch: int = 8,
-                 window_s: float = 0.05):
-        super().__init__(daemon=True)
-        self.service = service
-        self.max_batch = max_batch
-        self.window_s = window_s
-        self.q: "queue.Queue[_Pending]" = queue.Queue()
-        self._stop = threading.Event()
-        self.batches: List[int] = []     # sizes, for observability/tests
-
-    def submit(self, req: dict) -> _Pending:
-        p = _Pending(req)
-        self.q.put(p)
-        return p
-
-    def stop(self):
-        self._stop.set()
-        self.q.put(None)  # wake the drain loop
-
-    def run(self):
-        while not self._stop.is_set():
-            first = self.q.get()
-            if first is None:
-                continue
-            if self._stop.is_set():
-                self._refuse(first)
-                break
-            group = [first]
-            deadline = time.monotonic() + self.window_s
-            while len(group) < self.max_batch:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    nxt = self.q.get(timeout=left)
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    break
-                group.append(nxt)
-            self._serve_group(group)
-        # shutdown: refuse anything still queued so no handler thread
-        # waits forever on a _Pending that will never be served
-        while True:
-            try:
-                p = self.q.get_nowait()
-            except queue.Empty:
-                break
-            self._refuse(p)
-
-    def _refuse(self, p: Optional[_Pending]):
-        if p is None:
-            return
-        p.resp = _error_json(
-            p.req if isinstance(p.req, dict) else None,
-            RuntimeError("server shutting down"),
-        )
-        p.event.set()
-
-    def _serve_group(self, group: List[_Pending]):
-        # anything that can't join a uniform lane answers solo; icp-mode
-        # queries share one vmapped refine, goicp queries — with or
-        # without an init prior (per-pair multistart seeds) — share one
-        # lockstep BnB.  Lanes are per (kind, target): one dispatch = one
-        # target.
-        solo: List[_Pending] = []
-        lanes: dict = {}   # (kind, id(svc)) -> [(pending, svc, src, init)]
-        for p in group:
-            req = p.req
-            if (
-                not isinstance(req, dict)
-                or "cmd" in req
-                or "batch" in req
-                or _overrides(req)
-            ):
-                solo.append(p)
-                continue
-            try:
-                _validate_keys(req)
-                svc = self.service.resolve(req.get("target"))
-                src = _load_query_source(req, svc.source_root, svc.max_points)
-                init = _parse_init(req)
-                m = _mode(req)
-                lanes.setdefault((m, id(svc)), []).append((p, svc, src, init))
-            except Exception as e:
-                p.resp = _error_json(req, e)
-                p.event.set()
-        for p in solo:
-            p.resp = handle_request(self.service, p.req)
-            p.event.set()
-        for (kind, _), items in lanes.items():
-            svc = items[0][1]
-            srcs = [it[2] for it in items]
-            inits = [it[3] for it in items]
-            self.batches.append(len(items))
-            try:
-                if kind == "icp":
-                    results = svc.refine_batch(srcs, inits=inits)
-                else:
-                    results = svc.register_batch(srcs, inits=inits)
-                for (p, _, _, _), res in zip(items, results):
-                    p.resp = _result_json(p.req, res)
-            except Exception as e:
-                for p, _, _, _ in items:
-                    p.resp = _error_json(p.req, e)
-            for p, _, _, _ in items:
-                p.event.set()
-
-
-def serve_tcp(
-    service: RegistrationService,
-    host: str = "127.0.0.1",
-    port: int = 0,
-    max_batch: int = 8,
-    window_s: float = 0.05,
-    ready: Optional[threading.Event] = None,
-    bound: Optional[list] = None,
-    max_line: int = 80 << 20,
-):
-    """Blocking TCP server: one JSON request per line per connection,
-    concurrent connections micro-batched through a :class:`Batcher`.
-    ``{"cmd": "shutdown"}`` from any client stops the server.  ``ready`` /
-    ``bound`` (a list to receive the actual port) support test harnesses.
-    ``max_line`` caps the per-request payload (80 MB comfortably fits the
-    default ``max_points`` of 1M inline points even at full float precision
-    ~60 bytes/point; raise both to go bigger)."""
-    import socketserver
-
-    batcher = Batcher(service, max_batch=max_batch, window_s=window_s)
-    batcher.start()
-    log = get_logger()
-
-    class Handler(socketserver.StreamRequestHandler):
-        MAX_LINE = max_line
-
-        def handle(self):
-            while True:
-                raw = self.rfile.readline(self.MAX_LINE + 3)
-                if not raw:
-                    break
-                if len(raw.rstrip(b"\r\n")) > self.MAX_LINE:
-                    # drain the oversized line, then refuse it
-                    while raw and not raw.endswith(b"\n"):
-                        raw = self.rfile.readline(self.MAX_LINE)
-                    self._send(_error_json(
-                        None, ValueError(
-                            f"request line exceeds {self.MAX_LINE >> 20} MB"
-                        )
-                    ))
-                    continue
-                try:
-                    req = json.loads(raw.decode())
-                except Exception as e:
-                    self._send(_error_json(None, e))
-                    continue
-                if isinstance(req, dict) and req.get("cmd") == "shutdown":
-                    self._send({"ok": True, "shutdown": True})
-                    threading.Thread(
-                        target=server.shutdown, daemon=True
-                    ).start()
-                    return
-                pending = batcher.submit(req)
-                pending.event.wait()
-                resp = pending.resp
-                if isinstance(resp, list):
-                    for r in resp:
-                        self._send(r)
-                else:
-                    self._send(resp)
-
-        def _send(self, obj):
-            self.wfile.write((json.dumps(obj) + "\n").encode())
-            self.wfile.flush()
-
-    class Server(socketserver.ThreadingTCPServer):
-        allow_reuse_address = True
-        daemon_threads = True
-
-    with Server((host, port), Handler) as server:
-        actual = server.server_address[1]
-        if bound is not None:
-            bound.append(actual)
-        log.info("serving '%s' on %s:%d (max_batch=%d window=%.0fms)",
-                 service.name, host, actual, max_batch, window_s * 1e3)
-        if ready is not None:
-            ready.set()
-        server.serve_forever()
-    batcher.stop()
-    return batcher
-
-
-# ---------------------------------------------------------------------------
-# CLI: python -m goicp_tpu serve <target.{ply,txt}> [options]
-# ---------------------------------------------------------------------------
-
-
-def main(argv: Optional[Sequence[str]] = None) -> int:
-    import argparse
-    import sys
-
-    from goicp_tpu.core.cache import enable_persistent_cache
-
-    ap = argparse.ArgumentParser(
-        prog="goicp_tpu serve",
-        description="Target-resident Go-ICP registration service "
-                    "(JSON-lines over stdio or TCP).",
-    )
-    ap.add_argument("target", nargs="+",
-                    help="resident target cloud(s) (.ply/.txt); several "
-                         "paths serve a model zoo — queries pick one with "
-                         "'target': '<basename>' (default: the first)")
-    ap.add_argument("--toml", default=None,
-                    help="scenario TOML providing solver defaults "
-                         "([params] + [tpu] sections)")
-    ap.add_argument("--resize", type=float, default=None,
-                    help="scale the target (default: TOML resize or 1.0)")
-    ap.add_argument("--subsample", type=float, default=None,
-                    help="subsample the target (default: TOML or 1.0)")
-    ap.add_argument("--port", type=int, default=None,
-                    help="TCP port (omit for stdio mode; 0 = ephemeral)")
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--max-batch", type=int, default=8,
-                    help="micro-batch cap for concurrent TCP queries")
-    ap.add_argument("--window-ms", type=float, default=50.0,
-                    help="micro-batch gather window")
-    ap.add_argument("--warmup", type=int, default=0, metavar="N_SRC",
-                    help="pre-compile the solve path for N_SRC-point queries")
-    ap.add_argument("--source-root", default=None, metavar="DIR",
-                    help="confine {'source': <path>} queries under DIR. "
-                         "TCP default: paths DISABLED (inline 'points' "
-                         "only); stdio default: any path (trusted local)")
-    ap.add_argument("--max-points", type=int, default=1 << 20,
-                    help="reject queries with more points than this "
-                         "(bounded device allocation; default 1M)")
-    ap.add_argument("--max-line-mb", type=int, default=80,
-                    help="per-request line cap in MB (TCP mode)")
-    ap.add_argument("--no-shape-bucket", action="store_true",
-                    help="disable query-size bucketing (compile per exact "
-                         "shape; single goicp queries use the solo solver "
-                         "with the screened kernels instead of the "
-                         "lockstep driver)")
-    ap.add_argument("--icp-cache-size", type=int, default=16,
-                    help="LRU cap on cached tracking-path executables "
-                         "(one per distinct param-override combination)")
-    args = ap.parse_args(argv)
-
-    enable_persistent_cache()
-    if args.toml:
-        from goicp_tpu.cli import bnb_params_from_config
-        from goicp_tpu.core.config import Config
-
-        cfg = Config.from_toml(args.toml)
-        params = bnb_params_from_config(cfg)
-        resize = args.resize if args.resize is not None else cfg.resize
-        subsample = (
-            args.subsample if args.subsample is not None else cfg.subsample
-        )
-    else:
-        params = BnbParams()
-        resize = args.resize if args.resize is not None else 1.0
-        subsample = args.subsample if args.subsample is not None else 1.0
-
-    import os
-
-    source_root = args.source_root
-    if source_root is None and args.port is not None:
-        source_root = ""   # network exposure: filesystem queries opt-in only
-    services = {}
-    for path in args.target:
-        name = os.path.splitext(os.path.basename(path))[0]
-        if name in services:
-            get_logger().warning(
-                "duplicate target basename %r: %s is addressable as "
-                "'target': %r (full path), not by basename", name, path, path,
-            )
-            name = path                      # disambiguate duplicates
-        tgt = load_cloud(path, subsample=subsample, resize=resize)
-        services[name] = RegistrationService(
-            tgt, params, name=name, source_root=source_root,
-            max_points=args.max_points,
-            bucket_shapes=not args.no_shape_bucket,
-            icp_cache_size=args.icp_cache_size,
-        )
-        if args.warmup:
-            services[name].warmup(args.warmup)
-    service = (
-        next(iter(services.values()))
-        if len(services) == 1
-        else MultiTargetService(services)
-    )
-
-    if args.port is None:
-        serve_stdio(service, sys.stdin, sys.stdout)
-    else:
-        serve_tcp(service, host=args.host, port=args.port,
-                  max_batch=args.max_batch, window_s=args.window_ms / 1e3,
-                  max_line=args.max_line_mb << 20)
-    return 0
-
+from goicp_tpu.serving.service import _PARAM_KEYS, _QUERY_KEYS  # noqa: F401
+from goicp_tpu.serving.tcp import _Pending  # noqa: F401
+
+__all__ = [
+    "Batcher",
+    "MultiTargetService",
+    "RegistrationService",
+    "handle_request",
+    "main",
+    "serve_stdio",
+    "serve_tcp",
+]
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -530,6 +530,148 @@ def test_batch_goicp_priors_share_one_lockstep_dispatch(service, rng):
         assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
 
 
+def test_refine_escalates_on_tracking_loss(service, rng):
+    """VERDICT r4 item 5: a tracking refine that lands above escalate_mse
+    re-queues into the prior-seeded goicp lane and returns the certified
+    pose with escalated=True; converged tracking never escalates."""
+    from goicp_tpu.core.types import RigidTransform
+
+    src, Q, t = _query(service, rng, n=80)
+    # hopeless prior: identity on a far-rotated query → refine diverges
+    far = RigidTransform(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    res = service.refine(src, far, escalate_mse=1e-3)
+    assert res.escalated and res.converged and res.rot_nodes >= 0
+    assert np.allclose(np.asarray(res.transform.R), Q, atol=5e-3)
+    assert np.allclose(np.asarray(res.transform.t), t, atol=5e-3)
+
+    # good prior: refine converges, NO escalation (nodes stay 0)
+    good = RigidTransform(Q.astype(np.float32), t)
+    res2 = service.refine(src, good, escalate_mse=1e-3)
+    assert res2.converged and not res2.escalated and res2.rot_nodes == 0
+
+    # no threshold set: the old honest-failure contract is unchanged
+    res3 = service.refine(src, far)
+    assert not res3.converged and not res3.escalated
+
+
+def test_refine_batch_escalation_one_extra_lockstep(service, rng):
+    """Diverged queries in a tracking batch share ONE extra lockstep goicp
+    dispatch; converged ones pass through untouched."""
+    from goicp_tpu import multipair as mp
+    from goicp_tpu.core.types import RigidTransform
+
+    queries = [_query(service, rng, n=80) for _ in range(3)]
+    far = RigidTransform(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    inits = [
+        RigidTransform(queries[0][1].astype(np.float32), queries[0][2]),
+        far,    # diverges → escalates
+        far,    # diverges → escalates
+    ]
+    calls = []
+    orig = mp._register_pairs_lockstep
+
+    def spy(pairs_, p, mesh=None, **kw):
+        calls.append(len(pairs_))
+        return orig(pairs_, p, mesh=mesh, **kw)
+
+    mp._register_pairs_lockstep = spy
+    try:
+        out = service.refine_batch(
+            [q[0] for q in queries], inits=inits, escalate_mse=1e-3
+        )
+    finally:
+        mp._register_pairs_lockstep = orig
+    assert calls == [2]                      # ONE extra dispatch, 2 pairs
+    assert not out[0].escalated and out[0].converged
+    for i in (1, 2):
+        assert out[i].escalated and out[i].converged
+        src, Q, t = queries[i]
+        a = src @ np.asarray(out[i].transform.R).T + np.asarray(
+            out[i].transform.t)
+        b = src @ Q.T + t
+        assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
+
+
+def test_wire_escalation_flag(service, rng):
+    """escalate_mse rides the wire whitelist; escalated responses carry
+    'escalated': true; bad values are rejected with an error record."""
+    src, Q, t = _query(service, rng, n=70)
+    r = handle_request(service, {
+        "id": "e", "points": src.tolist(), "mode": "icp",
+        "init": {"R": np.eye(3).tolist(), "t": [0.0, 0.0, 0.0]},
+        "escalate_mse": 1e-3,
+    })
+    assert r["ok"] and r["converged"] and r.get("escalated") is True
+    assert np.allclose(np.array(r["R"]), Q, atol=5e-3)
+
+    ok = handle_request(service, {
+        "id": "ne", "points": src.tolist(), "mode": "icp",
+        "init": {"R": Q.tolist(), "t": t.tolist()},
+        "escalate_mse": 1e-3,
+    })
+    assert ok["ok"] and ok["converged"] and "escalated" not in ok
+
+    bad = handle_request(service, {
+        "points": src.tolist(), "mode": "icp", "escalate_mse": -1.0,
+    })
+    assert not bad["ok"] and "escalate_mse" in bad["error"]
+
+
+def test_tcp_auth_token(service, rng):
+    """VERDICT r4 item 7: with an auth token set, unauthenticated
+    connections get ONE error record and a close (shutdown included);
+    the {"auth": token} first-line handshake unlocks normal service."""
+    ready = threading.Event()
+    bound: list = []
+    srv = threading.Thread(
+        target=serve_tcp,
+        kwargs=dict(service=service, port=0, window_s=0.01, ready=ready,
+                    bound=bound, auth_token="s3cret-token"),
+        daemon=True,
+    )
+    srv.start()
+    assert ready.wait(10)
+    port = bound[0]
+    src, Q, t = _query(service, rng, n=60)
+
+    def _conn():
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        return s, s.makefile("rw")
+
+    # no handshake → one error record, closed (query never served)
+    s, f = _conn()
+    f.write(json.dumps({"id": 1, "points": src.tolist()}) + "\n")
+    f.flush()
+    r = json.loads(f.readline())
+    assert not r["ok"] and "auth" in r["error"]
+    assert f.readline() == ""        # server closed the connection
+    s.close()
+
+    # wrong token → same; shutdown must NOT be honored unauthenticated
+    s, f = _conn()
+    f.write(json.dumps({"auth": "wrong", "cmd": "shutdown"}) + "\n")
+    f.flush()
+    r = json.loads(f.readline())
+    assert not r["ok"] and f.readline() == ""
+    s.close()
+
+    # correct token → handshake ack, then normal service
+    s, f = _conn()
+    f.write(json.dumps({"auth": "s3cret-token"}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["auth"] is True
+    f.write(json.dumps({"id": 2, "points": src.tolist()}) + "\n")
+    f.flush()
+    r = json.loads(f.readline())
+    assert r["ok"] and r["converged"], r
+    assert np.allclose(np.array(r["R"]), Q, atol=5e-3)
+    f.write(json.dumps({"cmd": "shutdown"}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["shutdown"] is True
+    s.close()
+    srv.join(timeout=10)
+
+
 def test_register_batch_plane_metric_rides_lockstep(service, rng):
     """VERDICT r4 item 1 (serving side): icp_metric='plane' batches stay on
     the lockstep path with the RESIDENT normals (no silent point-to-point
