@@ -414,7 +414,12 @@ def se3_round_grouped(
 
 
 class GoIcpSolverSE3(GoIcpSolver):
-    """Product-space engine (shares init/ICP plumbing with the nested solver)."""
+    """Product-space engine (shares init/ICP plumbing with the nested solver).
+
+    The per-round machinery — frontiers, expansion, bucketed dispatch,
+    absorption — lives in the shared :class:`bnb.rounds.Se3RoundDriver`
+    (also the multi-host engine's round core); this class owns only the
+    pipelined dispatch/absorb loop, checkpoints, and diagnostics."""
 
     def run(self, init: Optional[RigidTransform] = None) -> GoIcpResult:
         import time
@@ -427,71 +432,12 @@ class GoIcpSolverSE3(GoIcpSolver):
             "Initial ICP: sse=%.6g mse=%.6g", best_sse, best_sse / self.ev.h
         )
 
-        mean_norm = float(np.mean(np.linalg.norm(self.src, axis=1)))
-        root_rspan = self.rotparam.root_span
-        rot_floor = p.min_rot_span * root_rspan
-        # translation floor: resolve to where γt stops dominating the
-        # achievable rms distance (ε-rule analogue of fgoicp.cpp:160)
-        trans_floor = max(p.min_trans_span, 1e-5)
-
-        beta = max(p.split_beta, 1e-6)
-
-        def classify(pay):
-            """Next split type per node (the shared rule, ``bnb.split``)."""
-            from goicp_tpu.bnb.split import classify_split
-
-            return classify_split(
-                pay, mean_norm, self.rotparam, beta=beta,
-                rot_floor=rot_floor, trans_floor=trans_floor,
-            )
-
-        # TWO frontiers, partitioned by next-split type so every device
-        # round is homogeneous: R-rounds run the singleton kernel, T-rounds
-        # the grouped 8-sibling kernel at full occupancy.  Leaves ride the
-        # R-frontier (they are evaluated as themselves).  Best-first order
-        # is preserved by always popping the frontier with the smaller lb.
-        fR = make_frontier(8)
-        fT = make_frontier(8)
-
-        def push_classified(pay, lb, ub):
-            split_rot, is_leaf = classify(pay)
-            to_t = ~split_rot & ~is_leaf
-            if to_t.any():
-                fT.push(pay[to_t], lb[to_t], ub[to_t])
-            if not to_t.all():
-                fR.push(pay[~to_t], lb[~to_t], ub[~to_t])
-
-        root = np.array(
-            [0.0, 0.0, 0.0, root_rspan, *p.trans_center, p.trans_span],
-            np.float32,
-        )
-        push_classified(
-            root[None],
-            np.zeros(1, np.float32),
-            np.full(1, np.inf, np.float32),
-        )
-
-        leaf_lb = float("inf")
         rounds = 0
         converged = best_sse <= self.sse_thresh
         se3_pop = p.se3_pop or max(
             64, min(4096, int(32e6 / (8 * self.src.shape[0])))
         )
         M_cap = 8 * se3_pop
-        # job-count buckets: compile a few round sizes instead of padding
-        # every round to M_cap (measured 41% padded-slot waste on bunny@0.05)
-        _buckets = []
-        b = 2048
-        while b < M_cap:
-            _buckets.append(b)
-            b *= 2
-        _buckets.append(M_cap)
-
-        def bucket(n):
-            for b in _buckets:
-                if n <= b:
-                    return b
-            return M_cap
 
         # -- device mesh: shard each round's job batch over "cubes" and the
         # source cloud over "points" (VERDICT r1 item 1; the stream-pool axis
@@ -501,8 +447,7 @@ class GoIcpSolverSE3(GoIcpSolver):
         # work (multipair pair slices) and must stay collective-free.
         from goicp_tpu.dist.se3 import make_engine_mesh
 
-        sharded_round = None
-        n_c = 1
+        mesh = None
         _mesh = make_engine_mesh(
             p, self._backend, self.src, np.asarray(self.ev.norms),
             h=(self.ev.h if p.trim_fraction > 0 else 0),
@@ -511,9 +456,9 @@ class GoIcpSolverSE3(GoIcpSolver):
             log=self.log,
         )
         if _mesh is not None:
-            (sharded_round, self._src_pad_dev, self._norms_pad_dev,
-             n_c, _) = _mesh
+            sharded_round, src_pad_dev, norms_pad_dev, n_c, _ = _mesh
             M_cap = -(-M_cap // n_c) * n_c
+            mesh = (sharded_round, src_pad_dev, norms_pad_dev, n_c)
 
         # center-aware rotation-cube angle bound, computed on device and
         # chained (async) into the round dispatch — strictly tighter than
@@ -524,11 +469,20 @@ class GoIcpSolverSE3(GoIcpSolver):
         if (
             p.tight_rot_bound
             and p.rotation_param == "axis_angle"
-            and sharded_round is None
+            and mesh is None
         ):
             from goicp_tpu.geo.rotation import axis_angle_cube_max_angle
 
             tight_ang = jax.jit(axis_angle_cube_max_angle)
+
+        from goicp_tpu.bnb.rounds import Se3RoundDriver
+
+        drv = Se3RoundDriver(
+            self, pop_cap=se3_pop, M_cap=M_cap, bucket_base=2048,
+            mesh=mesh, tight_ang=tight_ang, prune_on_best=True, diag=True,
+        )
+        drv.best_R, drv.best_t, drv.best_sse = best_R, best_t, best_sse
+        drv.push_root()
 
         # resume from a frontier snapshot (restart-based recovery; the BnB
         # state is exactly {frontier, incumbent, counters} — SURVEY §5)
@@ -539,31 +493,26 @@ class GoIcpSolverSE3(GoIcpSolver):
 
         if p.checkpoint_path and os.path.exists(p.checkpoint_path):
             ck = np.load(p.checkpoint_path)
-            fR = make_frontier(8)
-            fT = make_frontier(8)
-            push_classified(ck["payload"], ck["lb"], ck["ub"])
-            if float(ck["best_sse"]) < best_sse:
-                best_sse = float(ck["best_sse"])
-                best_R, best_t = ck["best_R"], ck["best_t"]
-            leaf_lb = float(ck["leaf_lb"])
+            drv.reset_frontiers()
+            drv.push_classified(ck["payload"], ck["lb"], ck["ub"])
+            if float(ck["best_sse"]) < drv.best_sse:
+                drv.best_sse = float(ck["best_sse"])
+                drv.best_R, drv.best_t = ck["best_R"], ck["best_t"]
+            drv.leaf_lb = float(ck["leaf_lb"])
             rounds = int(ck["rounds"])
             m.count("se3_nodes", int(ck["nodes"]))
             self.log.info(
                 "resumed from %s: round %d, frontier %d, best sse %.6g",
                 p.checkpoint_path,
                 rounds,
-                len(fR) + len(fT),
-                best_sse,
+                drv.f_len(),
+                drv.best_sse,
             )
 
         def save_checkpoint():
             if not p.checkpoint_path:
                 return
-            payR, lbR, ubR = fR.dump()
-            payT, lbT, ubT = fT.dump()
-            pay = np.concatenate([payR, payT])
-            lb = np.concatenate([lbR, lbT])
-            ub = np.concatenate([ubR, ubT])
+            pay, lb, ub = drv.dump_frontiers()
             # Rounds still in flight hold nodes that are in neither the
             # frontier nor any pushed children; losing them would leave
             # permanently unexplored regions after a resume.  Re-include
@@ -580,294 +529,25 @@ class GoIcpSolverSE3(GoIcpSolver):
                 payload=pay,
                 lb=lb,
                 ub=ub,
-                best_R=best_R,
-                best_t=best_t,
-                best_sse=np.float32(best_sse),
-                leaf_lb=np.float32(leaf_lb),
+                best_R=drv.best_R,
+                best_t=drv.best_t,
+                best_sse=np.float32(drv.best_sse),
+                leaf_lb=np.float32(drv.leaf_lb),
                 rounds=np.int64(rounds),
                 # in-flight parents get re-expanded on resume, so their
                 # already-counted children must not be counted twice
                 nodes=np.int64(
                     m.counters.get("se3_nodes", 0)
-                    - sum(w["C"] for w in inflight)
+                    - sum(pt[-1] for w in inflight for pt in w["parts"])
                 ),
             )
             os.replace(tmp, p.checkpoint_path)
 
-        def dispatch_T():
-            """Pop translation-split nodes → 8 octant t-children per parent,
-            all sharing the parent rotation → one GROUPED device round."""
-            pay, pop_lb, pop_ub = fT.pop_best(se3_pop)
-            B = pay.shape[0]
-            m.count("pops_trans", B)
-            m.count("se3_nodes", 8 * B)
-            # plane-merge potential: parents sharing a rotation payload could
-            # share one grouped base plane (diagnostic for kernel batching).
-            # Sampled every 16th round: the O(B log B) host row-sort is not
-            # worth paying on every dispatch of the hot loop.
-            if rounds % 16 == 1:
-                m.count("uniq_rot_in_tpops_sampled",
-                        int(np.unique(pay[:, 0:4], axis=0).shape[0]))
-                m.count("tpops_sampled", B)
-
-            half_t = pay[:, 7] / 2.0                    # [B]
-            t8 = pay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]
-            t8 = t8.astype(np.float32)                  # [B,8,3]
-            R_g = self.rotparam.rotation(pay[:, 0:3])   # [B,3,3]
-            ang_g = self.rotparam.max_angle(pay[:, 0:3], pay[:, 3]).astype(
-                np.float32
-            )
-            # child payloads, group-major (kernel output order)
-            child = np.repeat(pay, 8, axis=0)
-            child[:, 4:7] = t8.reshape(8 * B, 3)
-            child[:, 7] = np.repeat(half_t, 8)
-            C = 8 * B
-
-            G_cap = bucket(C) // 8
-            padg = G_cap - B
-            R_pad = np.concatenate(
-                [R_g, np.tile(np.eye(3, dtype=np.float32), (padg, 1, 1))]
-            )
-            ang_pad = np.concatenate([ang_g, np.zeros(padg, np.float32)])
-            t8_pad = np.concatenate([t8, np.zeros((padg, 8, 3), np.float32)])
-            ts8 = np.repeat(half_t, 8).reshape(B, 8)
-            ts8_pad = np.concatenate([ts8, np.zeros((padg, 8), np.float32)])
-            mask = np.zeros(8 * G_cap, bool)
-            mask[:C] = True
-
-            if sharded_round is not None:
-                out = _dispatch_sharded(
-                    np.repeat(R_pad, 8, axis=0),
-                    np.repeat(ang_pad, 8),
-                    t8_pad.reshape(-1, 3),
-                    ts8_pad.reshape(-1),
-                    mask,
-                )
-            else:
-                ang_in = (
-                    tight_ang(
-                        np.concatenate(
-                            [pay[:, 0:3], np.zeros((padg, 3), np.float32)]
-                        ),
-                        np.concatenate([pay[:, 3], np.zeros(padg, np.float32)]),
-                    )
-                    if tight_ang is not None
-                    else jnp.asarray(ang_pad)
-                )
-                out = se3_round_grouped(
-                    self._src_dev,
-                    self.ev.norms,
-                    self.grid,
-                    self._tgt_dev,
-                    self._nrm_dev,
-                    jnp.float32(
-                        self._exact_slack
-                        if self._backend in ("exact", "mxu", "screen")
-                        else self.ev.slack
-                    ),
-                    jnp.float32(best_sse - self.sse_thresh),
-                    jnp.asarray(R_pad),
-                    ang_in,
-                    jnp.asarray(t8_pad),
-                    jnp.asarray(ts8_pad),
-                    jnp.asarray(mask),
-                    h=(self.ev.h if p.trim_fraction > 0 else 0),
-                    lookup=p.lookup,
-                    backend=self._backend,
-                    tile=p.point_tile,
-                    tgt_tile=256,
-                    refine_k=p.refine_top_k,
-                    icp_params=self._icp_params_round,
-                    icp_backend=self._icp_backend,
-                )
-            return {
-                "child": child,
-                "lf": np.zeros(C, bool),
-                "R_c": np.repeat(R_g, 8, axis=0),
-                "C": C,
-                "out": out,
-                "parents": (pay, pop_lb, pop_ub),
-                "grouped": B,
-                "t0": time.perf_counter(),
-            }
-
-        def _dispatch_sharded(R_c, ang_c, t_c, t_s, mask):
-            """Launch the mesh round on flat job arrays (both round kinds)."""
-            Mj = R_c.shape[0]
-            Mpad = -(-Mj // (n_c or 1)) * (n_c or 1) - Mj
-            if Mpad:
-                R_c = np.concatenate(
-                    [R_c, np.tile(np.eye(3, dtype=np.float32), (Mpad, 1, 1))]
-                )
-                ang_c = np.concatenate([ang_c, np.zeros(Mpad, np.float32)])
-                t_c = np.concatenate([t_c, np.zeros((Mpad, 3), np.float32)])
-                t_s = np.concatenate([t_s, np.zeros(Mpad, np.float32)])
-                mask = np.concatenate([mask, np.zeros(Mpad, bool)])
-            return sharded_round(
-                self._src_pad_dev,
-                self._norms_pad_dev,
-                self.grid,
-                self._tgt_dev,
-                jnp.float32(
-                    self._exact_slack
-                    if self._backend in ("exact", "mxu", "screen")
-                    else self.ev.slack
-                ),
-                jnp.float32(best_sse - self.sse_thresh),
-                jnp.asarray(R_c),
-                jnp.asarray(ang_c),
-                jnp.asarray(t_c),
-                jnp.asarray(t_s),
-                jnp.asarray(mask),
-                self._src_dev,
-            )
-
-        def dispatch_R():
-            """Pop rotation-split nodes (and leaves) → octant r-children as
-            singleton jobs → one singleton device round."""
-            pay, pop_lb, pop_ub = fR.pop_best(se3_pop)
-            B = pay.shape[0]
-            split_rot, is_leaf = classify(pay)
-
-            m.count("pops_rot", int(split_rot.sum()))
-            m.count("pops_leaf", int(is_leaf.sum()))
-            child = np.repeat(pay, 8, axis=0)          # [8B, 8]
-            oct8 = np.tile(_OCTANTS, (B, 1))           # [8B, 3]
-            sr = np.repeat(split_rot, 8)
-            lf = np.repeat(is_leaf, 8)
-            half_r = np.repeat(pay[:, 3], 8) / 2.0
-            child[sr, 0:3] += oct8[sr] * half_r[sr, None]
-            child[sr, 3] = half_r[sr]
-            # leaves: keep only one copy (slot 0 of each 8-block)
-            keep_child = np.ones(8 * B, bool)
-            if lf.any():
-                keep_child &= ~lf | (np.arange(8 * B) % 8 == 0)
-            # rotation-ball validity (jly_goicp.cpp:443-446)
-            keep_child &= self.rotparam.valid(child[:, 0:3], child[:, 3])
-            child = child[keep_child]
-            lf = lf[keep_child]
-            C = child.shape[0]
-            if C == 0:
-                return None
-            m.count("se3_nodes", C)
-
-            padn = bucket(C) - C
-            R_c = self.rotparam.rotation(child[:, 0:3])
-            ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3]).astype(
-                np.float32
-            )
-            if sharded_round is not None:
-                out = _dispatch_sharded(
-                    np.concatenate(
-                        [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
-                    ),
-                    np.concatenate([ang_c, np.zeros(padn, np.float32)]),
-                    np.concatenate(
-                        [child[:, 4:7], np.zeros((padn, 3), np.float32)]
-                    ),
-                    np.concatenate([child[:, 7], np.zeros(padn, np.float32)]),
-                    np.concatenate([np.ones(C, bool), np.zeros(padn, bool)]),
-                )
-                return {
-                    "child": child,
-                    "lf": lf,
-                    "R_c": R_c,
-                    "C": C,
-                    "out": out,
-                    "parents": (pay, pop_lb, pop_ub),
-                    "t0": time.perf_counter(),
-                }
-            ang_in = (
-                tight_ang(
-                    np.concatenate(
-                        [child[:, 0:3], np.zeros((padn, 3), np.float32)]
-                    ),
-                    np.concatenate([child[:, 3], np.zeros(padn, np.float32)]),
-                )
-                if tight_ang is not None
-                else jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)]))
-            )
-            out = se3_round(
-                self._src_dev,
-                self.ev.norms,
-                self.grid,
-                self._tgt_dev,
-                self._nrm_dev,
-                jnp.float32(
-                    self._exact_slack
-                    if self._backend in ("exact", "mxu", "screen")
-                    else self.ev.slack
-                ),
-                jnp.float32(best_sse - self.sse_thresh),
-                jnp.asarray(
-                    np.concatenate(
-                        [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
-                    )
-                ),
-                ang_in,
-                jnp.asarray(
-                    np.concatenate([child[:, 4:7], np.zeros((padn, 3), np.float32)])
-                ),
-                jnp.asarray(np.concatenate([child[:, 7], np.zeros(padn, np.float32)])),
-                jnp.asarray(np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])),
-                h=(self.ev.h if p.trim_fraction > 0 else 0),
-                lookup=p.lookup,
-                backend=self._backend,
-                tile=p.point_tile,
-                tgt_tile=256,
-                refine_k=p.refine_top_k,
-                icp_params=self._icp_params_round,
-                icp_backend=self._icp_backend,
-            )
-            return {
-                "child": child,
-                "lf": lf,
-                "R_c": R_c,
-                "C": C,
-                "out": out,
-                "parents": (pay, pop_lb, pop_ub),
-                "t0": time.perf_counter(),
-            }
-
-        def frontier_min_lb():
-            return min(fR.min_lb(), fT.min_lb())
-
-        def absorb(work):
-            """Fetch one round's results; update incumbent, prune, push."""
-            nonlocal best_R, best_t, best_sse, leaf_lb, converged
-            child, lf, R_c, C = work["child"], work["lf"], work["R_c"], work["C"]
-            ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = jax.device_get(work["out"])
-            # dispatch→fetch latency per round kind (true per-kind device wall
-            # at pipeline_depth=1; overlapped and so only indicative deeper)
-            m.timers["round_T_s" if work.get("grouped") else "round_R_s"] += (
-                time.perf_counter() - work["t0"]
-            )
-            ub_c, lb_c = ub_d[:C], lb_d[:C]
-            m.count("icp_iters", int(it_ref.sum()))
-
-            j = int(np.argmin(sse_ref))
-            if float(sse_ref[j]) < best_sse:
-                best_sse = float(sse_ref[j])
-                best_R, best_t = R_ref[j], t_ref[j]
-                fR.prune(best_sse - self.sse_thresh)
-                fT.prune(best_sse - self.sse_thresh)
-                self.log.info(
-                    "round %d: new best sse=%.6g (mse=%.6g)",
-                    rounds,
-                    best_sse,
-                    best_sse / self.ev.h,
-                )
-            j = int(np.argmin(ub_c))
-            if float(ub_c[j]) < best_sse:
-                best_sse = float(ub_c[j])
-                best_R, best_t = R_c[j], child[j, 4:7]
-                fR.prune(best_sse - self.sse_thresh)
-                fT.prune(best_sse - self.sse_thresh)
-
-            # lb/threshold distribution (diagnostic): sizes the subset-lb
-            # screen — children with lb ≫ thresh are prunable from a
-            # cheap partial-sum bound over Ns/N points
-            thr = max(best_sse - self.sse_thresh, 1e-30)
+        def _diag(work, ub_c, lb_c):
+            """lb/threshold distribution + T-group survival (diagnostics):
+            sizes the subset-lb screen — children with lb ≫ thresh are
+            prunable from a cheap partial-sum bound over Ns/N points."""
+            thr = max(drv.best_sse - self.sse_thresh, 1e-30)
             r = lb_c / thr
             for lo, hi in ((1, 2), (2, 3), (3, 4), (4, 6), (6, 8), (8, 12),
                            (12, 1e30)):
@@ -881,14 +561,12 @@ class GoIcpSolverSE3(GoIcpSolver):
                 m.count("tgroups_surv_quarter", int((gmin < 4 * thr).sum()))
                 m.count("tgroups_surv_half", int((gmin < 2 * thr).sum()))
 
-            alive = lb_c < best_sse - self.sse_thresh
-            if (alive & lf).any():
-                leaf_lb = min(leaf_lb, float(lb_c[alive & lf].min()))
-            keep = alive & ~lf
-            if keep.any():
-                push_classified(child[keep], lb_c[keep], ub_c[keep])
-
-            if best_sse <= self.sse_thresh:
+        def absorb(work):
+            """Absorb one round, then the engine-side bookkeeping (converged
+            flag, checkpoints, periodic logs, progress bus)."""
+            nonlocal converged
+            drv.absorb(work, post_update=_diag)
+            if drv.best_sse <= self.sse_thresh:
                 converged = True
             if p.checkpoint_path and rounds % max(p.checkpoint_every, 1) == 0:
                 save_checkpoint()
@@ -896,20 +574,21 @@ class GoIcpSolverSE3(GoIcpSolver):
                 self.log.info(
                     "round %d: best=%.5g frontier=%d+%d min_lb=%.4g leaf_lb=%.4g",
                     rounds,
-                    best_sse,
-                    len(fR),
-                    len(fT),
-                    frontier_min_lb(),
-                    leaf_lb,
+                    drv.best_sse,
+                    len(drv.fR),
+                    len(drv.fT),
+                    drv.f_min_lb(),
+                    drv.leaf_lb,
                 )
+            child0, _, R_c0, _, _ = work["parts"][0]
             self.progress.publish(
                 SolverState(
-                    opt_R=best_R,
-                    opt_t=best_t,
-                    cur_R=R_c[0],
-                    cur_t=child[0, 4:7],
-                    best_sse=best_sse,
-                    gap=best_sse - min(frontier_min_lb(), leaf_lb),
+                    opt_R=drv.best_R,
+                    opt_t=drv.best_t,
+                    cur_R=R_c0[0],
+                    cur_t=child0[0, 4:7],
+                    best_sse=drv.best_sse,
+                    gap=drv.best_sse - min(drv.f_min_lb(), drv.leaf_lb),
                     finished=False,
                     rot_nodes=int(m.counters.get("se3_nodes", 0)),
                     trans_nodes=int(m.counters.get("se3_nodes", 0)),
@@ -935,12 +614,11 @@ class GoIcpSolverSE3(GoIcpSolver):
                         "wall budget %.0fs exceeded at round %d (gap %.4g)",
                         p.max_wall_s,
                         rounds,
-                        best_sse - min(frontier_min_lb(), leaf_lb),
+                        drv.best_sse - min(drv.f_min_lb(), drv.leaf_lb),
                     )
-                n_pending = len(fR) + len(fT)
                 can_dispatch = (
                     rounds < p.max_rounds
-                    and n_pending
+                    and drv.f_len()
                     and not converged
                     and not budget_exceeded
                 )
@@ -948,8 +626,8 @@ class GoIcpSolverSE3(GoIcpSolver):
                     # gap test only in a settled state: with rounds in
                     # flight the frontier is partially drained and min_lb
                     # would spuriously read high
-                    gap_lb = min(frontier_min_lb(), leaf_lb)
-                    if best_sse - gap_lb <= self.sse_thresh:
+                    gap_lb = min(drv.f_min_lb(), drv.leaf_lb)
+                    if drv.best_sse - gap_lb <= self.sse_thresh:
                         converged = True
                         can_dispatch = False
                 if can_dispatch and len(inflight) < depth:
@@ -957,38 +635,40 @@ class GoIcpSolverSE3(GoIcpSolver):
                     # best-first across both frontiers: pop the one whose
                     # best node is more promising (homogeneous round each way)
                     work = (
-                        dispatch_T()
-                        if len(fT) and fT.min_lb() <= fR.min_lb()
-                        else dispatch_R()
+                        drv.dispatch_T(rounds)
+                        if len(drv.fT) and drv.fT.min_lb() <= drv.fR.min_lb()
+                        else drv.dispatch_singleton(drv.fR, rounds)
                     )
-                    if work is not None:
+                    if work["parts"]:
                         inflight.append(work)
                     continue
                 if inflight:
                     absorb(inflight.popleft())
                     continue
-                gap_lb = min(frontier_min_lb(), leaf_lb)
+                gap_lb = min(drv.f_min_lb(), drv.leaf_lb)
                 if (
                     converged
-                    or best_sse - gap_lb <= self.sse_thresh
-                    or not (len(fR) + len(fT))
+                    or drv.best_sse - gap_lb <= self.sse_thresh
+                    or not drv.f_len()
                     or rounds >= p.max_rounds
                     or budget_exceeded
                 ):
                     if (
-                        best_sse - gap_lb <= self.sse_thresh
-                        or not (len(fR) + len(fT))
+                        drv.best_sse - gap_lb <= self.sse_thresh
+                        or not drv.f_len()
                     ):
                         converged = True
                     break
 
-        if not (len(fR) + len(fT)) and not converged:
+        if not drv.f_len() and not converged:
             converged = True
 
         # full-resolution polish + consistent re-score (solver._full_polish)
-        best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
+        best_R, best_t, best_sse = self._full_polish(
+            drv.best_R, drv.best_t, drv.best_sse
+        )
 
-        gap = best_sse - min(frontier_min_lb(), leaf_lb)
+        gap = best_sse - min(drv.f_min_lb(), drv.leaf_lb)
         sse_full, mse_full, gap_full = self._full_cert(
             best_R, best_t, best_sse, gap
         )

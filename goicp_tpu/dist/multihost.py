@@ -39,6 +39,11 @@ each round over an intra-process device mesh; this module adds the
   (``fgoicp.cpp:44``); all processes see the same reduced scalars, so they
   stop on the same iteration (no deadlocked collectives).
 
+The per-round machinery (frontiers, expansion, bucketed dispatch,
+absorption) is the shared :class:`bnb.rounds.Se3RoundDriver` — the same
+object behind the single-host engine; this module owns only the lockstep
+exchange, the root partition, rebalancing, and consistent-cut checkpoints.
+
 Run one process per host with ``jax.distributed.initialize`` (tested
 multi-process on a single machine with the Gloo CPU backend —
 ``tests/test_multihost.py``); on TPU pods the same code rides ICI/DCN.
@@ -55,17 +60,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import multihost_utils
 
-from goicp_tpu.bnb.frontier import make_frontier
-from goicp_tpu.bnb.se3 import se3_round, se3_round_grouped
+from goicp_tpu.bnb.rounds import Se3RoundDriver
 from goicp_tpu.bnb.solver import (
     GoIcpResult,
     GoIcpSolver,
-    _OCTANTS,
 )
 from goicp_tpu.core.progress import SolverState
 from goicp_tpu.core.types import RigidTransform
-
-_SQRT3 = math.sqrt(3.0)
 
 
 def _allgather_np(x: np.ndarray) -> np.ndarray:
@@ -99,59 +100,45 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             "[p%d/%d] initial ICP: sse=%.6g", pid, P, best_sse
         )
 
-        mean_norm = float(np.mean(np.linalg.norm(self.src, axis=1)))
-        rot_floor = p.min_rot_span * self.rotparam.root_span
-        trans_floor = max(p.min_trans_span, 1e-5)
-
-        beta = max(p.split_beta, 1e-6)
-
-        def classify(pay):
-            # the ONE shared split rule (bnb.split) — identical across the
-            # single-host engine, this multi-host engine, and the lockstep
-            # multipair driver
-            from goicp_tpu.bnb.split import classify_split
-
-            return classify_split(
-                pay, mean_norm, self.rotparam, beta=beta,
-                rot_floor=rot_floor, trans_floor=trans_floor,
-            )
-
-        # TWO frontiers partitioned by next-split type (same design as the
-        # single-host engine): every round is HOMOGENEOUS — T-rounds run the
-        # grouped 8-sibling kernel at full occupancy, R-rounds (and leaves)
-        # the singleton kernel.  A mixed pop would pay both kernels at full
-        # padded width (~2× compute per round, measured on the scaling
-        # harness).  Best-first order is preserved by popping whichever
-        # frontier holds the smaller lb.
-        fR = make_frontier(8)
-        fT = make_frontier(8)
-
-        def push_classified(pay, lb, ub):
-            split_rot, is_leaf = classify(pay)
-            to_t = ~split_rot & ~is_leaf
-            if to_t.any():
-                fT.push(pay[to_t], lb[to_t], ub[to_t])
-            if not to_t.all():
-                fR.push(pay[~to_t], lb[~to_t], ub[~to_t])
-
-        def f_len():
-            return len(fR) + len(fT)
-
-        def f_min_lb():
-            return min(fR.min_lb(), fT.min_lb())
-
-        def f_prune(thr):
-            fR.prune(thr)
-            fT.prune(thr)
-
-        root = np.array(
-            [0.0, 0.0, 0.0, self.rotparam.root_span,
-             *p.trans_center, p.trans_span],
-            np.float32,
-        )
-
-        leaf_lb = float("inf")
         rounds = 0          # local work rounds (metrics only)
+        pop_cap = p.se3_pop or 256
+
+        # ---- optional intra-process device mesh: the between-hosts frontier
+        # axis composes with a within-host (cubes × points) mesh — each
+        # process shards ITS OWN rounds over its local chips (purely local
+        # collectives, so lockstep across hosts is untouched).  ``mesh_cubes
+        # = 0`` means every local device (mirroring the single-host engine).
+        from goicp_tpu.dist.se3 import make_engine_mesh
+
+        mesh = None
+        _mesh = make_engine_mesh(
+            p, self._backend, self.src, np.asarray(self.ev.norms),
+            h=(self.ev.h if p.trim_fraction > 0 else 0),
+            icp_params=self._icp_params_round_mesh,
+            icp_backend=self._icp_backend,
+            log=self.log,
+            tag=f"[p{pid}/{P}] ",
+        )
+        if _mesh is not None:
+            sharded_round, src_pad_dev, norms_pad_dev, n_c, _ = _mesh
+            pop_cap = -(-pop_cap // n_c) * n_c
+            mesh = (sharded_round, src_pad_dev, norms_pad_dev, n_c)
+
+        M_cap = 8 * pop_cap
+        # the shared round driver: multi-host keeps host angles (no
+        # tight_ang device chaining), prunes after the lockstep exchange
+        # (not inside absorb), buckets partial rounds from 256 (starved
+        # hosts dispatch small rounds — measured 2026-08-20: without
+        # bucketing every partial round costs a full-width dispatch and
+        # 4-process efficiency collapses to 0.40), and pads mesh rounds to
+        # the full cap (one compiled shape per kind under sharding)
+        drv = Se3RoundDriver(
+            self, pop_cap=pop_cap, M_cap=M_cap, bucket_base=256,
+            mesh=mesh, tight_ang=None, prune_on_best=False, diag=False,
+            sharded_pad_full=True,
+        )
+        drv.best_R, drv.best_t, drv.best_sse = best_R, best_t, best_sse
+        root = drv.root
 
         # checkpoint/resume: each process snapshots ITS OWN frontier slice
         # (plus the exchanged incumbent) at the same global iteration, so
@@ -186,16 +173,16 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 pid, P, allck[:, 1].tolist(),
             )
         if resume:
-            push_classified(ck["payload"], ck["lb"], ck["ub"])
-            if float(ck["best_sse"]) < best_sse:
-                best_sse = float(ck["best_sse"])
-                best_R, best_t = ck["best_R"], ck["best_t"]
-            leaf_lb = float(ck["leaf_lb"])
+            drv.push_classified(ck["payload"], ck["lb"], ck["ub"])
+            if float(ck["best_sse"]) < drv.best_sse:
+                drv.best_sse = float(ck["best_sse"])
+                drv.best_R, drv.best_t = ck["best_R"], ck["best_t"]
+            drv.leaf_lb = float(ck["leaf_lb"])
             rounds = int(ck["rounds"])
             m.count("se3_nodes", int(ck["nodes"]))
             self.log.info(
                 "[p%d/%d] resumed from %s: round %d, frontier %d, best %.6g",
-                pid, P, ck_path, rounds, f_len(), best_sse,
+                pid, P, ck_path, rounds, drv.f_len(), drv.best_sse,
             )
             # the checkpoint may re-include the ROOT itself (a crash while
             # round 1 was still in flight): its mod-P child partition must
@@ -208,14 +195,11 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # EVERY process pushes the root and expands it identically on
             # the first round, keeping only children with index ≡ pid
             # (mod P) — a disjoint exact cover with no coordination
-            push_classified(
-                root[None], np.zeros(1, np.float32),
-                np.full(1, np.inf, np.float32),
-            )
+            drv.push_root()
             root_pending = True
         # which frontier the root classifies into (deterministic — both the
         # fresh push above and any checkpoint re-inclusion use classify)
-        _sr0, _lf0 = classify(root[None])
+        _sr0, _lf0 = drv.classify(root[None])
         root_in_T = bool((~_sr0 & ~_lf0)[0])
         # GLOBAL lockstep iteration — advances on every process every loop,
         # so every collective-gating condition below derives from identical
@@ -224,48 +208,6 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         # different resume generations alias the same `it` and defeat the
         # consistent-cut check above.
         it = int(ck["it"]) if resume and "it" in ck else 0
-        pop_cap = p.se3_pop or 256
-
-        # ---- optional intra-process device mesh: the between-hosts frontier
-        # axis composes with a within-host (cubes × points) mesh — each
-        # process shards ITS OWN rounds over its local chips (purely local
-        # collectives, so lockstep across hosts is untouched).  ``mesh_cubes
-        # = 0`` means every local device (mirroring the single-host engine).
-        from goicp_tpu.dist.se3 import make_engine_mesh
-
-        sharded_round = None
-        _mesh = make_engine_mesh(
-            p, self._backend, self.src, np.asarray(self.ev.norms),
-            h=(self.ev.h if p.trim_fraction > 0 else 0),
-            icp_params=self._icp_params_round_mesh,
-            icp_backend=self._icp_backend,
-            log=self.log,
-            tag=f"[p{pid}/{P}] ",
-        )
-        if _mesh is not None:
-            sharded_round, src_pad_dev, norms_pad_dev, n_c, _ = _mesh
-            pop_cap = -(-pop_cap // n_c) * n_c
-
-        M_cap = 8 * pop_cap
-        # job-count buckets (same trick as the single-host engine,
-        # bnb/se3.py): partial rounds — the ramp-up/drain phases, and any
-        # starved host's rounds — dispatch at the nearest power-of-two
-        # bucket instead of the full M_cap padding.  Measured 2026-08-20
-        # (4×1-core Gloo, bunny@0.01 cert): without bucketing every
-        # partial round costs a full-width dispatch and 4-process
-        # efficiency collapses to 0.40.
-        _buckets = []
-        _b = 256
-        while _b < M_cap:
-            _buckets.append(_b)
-            _b *= 2
-        _buckets.append(M_cap)
-
-        def _bucket(n):
-            for _bb in _buckets:
-                if n <= _bb:
-                    return _bb
-            return M_cap
 
         # rebalance constants must be IDENTICAL on every process (they gate
         # and size a collective), but pop_cap is rounded by the LOCAL mesh
@@ -276,132 +218,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         # starved host leaves with ≥ pop_cap work (the buffer rides one
         # small allgather — 2·k·10 f32 per host)
         exchange_k = max(64, 2 * pop_cap_g)
-        converged = best_sse <= self.sse_thresh
-        _slack = jnp.float32(
-            self._exact_slack
-            if self._backend in ("exact", "mxu", "screen")
-            else self.ev.slack
-        )
-
-        def evaluate(child):
-            """One fused singleton round over ``child [C,8]`` payloads."""
-            C = child.shape[0]
-            cap = M_cap if sharded_round is not None else _bucket(C)
-            padn = cap - C
-            R_c = self.rotparam.rotation(child[:, 0:3])
-            ang_c = self.rotparam.max_angle(child[:, 0:3], child[:, 3])
-            R_pad = jnp.asarray(np.concatenate(
-                [R_c, np.tile(np.eye(3, dtype=np.float32), (padn, 1, 1))]
-            ))
-            ang_pad = jnp.asarray(np.concatenate(
-                [ang_c.astype(np.float32), np.zeros(padn, np.float32)]
-            ))
-            t_pad = jnp.asarray(np.concatenate(
-                [child[:, 4:7], np.zeros((padn, 3), np.float32)]
-            ))
-            ts_pad = jnp.asarray(np.concatenate(
-                [child[:, 7], np.zeros(padn, np.float32)]
-            ))
-            mask = jnp.asarray(
-                np.concatenate([np.ones(C, bool), np.zeros(padn, bool)])
-            )
-            thresh = jnp.float32(best_sse - self.sse_thresh)
-            if sharded_round is not None:
-                out = sharded_round(
-                    src_pad_dev, norms_pad_dev, self.grid, self._tgt_dev,
-                    _slack, thresh, R_pad, ang_pad, t_pad, ts_pad, mask,
-                    self._src_dev,
-                )
-                return out, R_c
-            out = se3_round(
-                self._src_dev,
-                self.ev.norms,
-                self.grid,
-                self._tgt_dev,
-                self._nrm_dev,
-                _slack,
-                thresh,
-                R_pad,
-                ang_pad,
-                t_pad,
-                ts_pad,
-                mask,
-                h=(self.ev.h if p.trim_fraction > 0 else 0),
-                lookup=p.lookup,
-                backend=self._backend,
-                tile=p.point_tile,
-                tgt_tile=256,
-                refine_k=p.refine_top_k,
-                icp_params=self._icp_params_round,
-                icp_backend=self._icp_backend,
-            )
-            return out, R_c
-
-        def evaluate_grouped(tpay):
-            """One fused GROUPED round: 8 translation-octant siblings per
-            T-split parent share the rotation's distance plane (~3× the
-            singleton kernel's per-node throughput on TPU — ``nn.mxu``).
-            On a local device mesh the groups flatten to singleton jobs
-            sharded over the cube axis (same tradeoff as the single-host
-            mesh path: devices beat the shared-plane amortization)."""
-            Gt = tpay.shape[0]
-            padg = (
-                pop_cap if sharded_round is not None else _bucket(8 * Gt) // 8
-            ) - Gt
-            R_g = self.rotparam.rotation(tpay[:, 0:3])
-            ang_g = self.rotparam.max_angle(tpay[:, 0:3], tpay[:, 3])
-            half_t = (tpay[:, 7] / 2.0).astype(np.float32)
-            t8 = (
-                tpay[:, None, 4:7] + _OCTANTS[None] * half_t[:, None, None]
-            ).astype(np.float32)
-            ts8 = np.repeat(half_t, 8).reshape(Gt, 8)
-            R_pad = np.concatenate(
-                [R_g, np.tile(np.eye(3, dtype=np.float32), (padg, 1, 1))]
-            )
-            ang_pad = np.concatenate(
-                [ang_g.astype(np.float32), np.zeros(padg, np.float32)]
-            )
-            t8_pad = np.concatenate([t8, np.zeros((padg, 8, 3), np.float32)])
-            ts8_pad = np.concatenate([ts8, np.zeros((padg, 8), np.float32)])
-            mask = jnp.asarray(np.concatenate(
-                [np.ones(8 * Gt, bool), np.zeros(8 * padg, bool)]
-            ))
-            thresh = jnp.float32(best_sse - self.sse_thresh)
-            if sharded_round is not None:
-                out = sharded_round(
-                    src_pad_dev, norms_pad_dev, self.grid, self._tgt_dev,
-                    _slack, thresh,
-                    jnp.asarray(np.repeat(R_pad, 8, axis=0)),
-                    jnp.asarray(np.repeat(ang_pad, 8)),
-                    jnp.asarray(t8_pad.reshape(-1, 3)),
-                    jnp.asarray(ts8_pad.reshape(-1)),
-                    mask,
-                    self._src_dev,
-                )
-                return out, np.repeat(R_g, 8, axis=0)
-            out = se3_round_grouped(
-                self._src_dev,
-                self.ev.norms,
-                self.grid,
-                self._tgt_dev,
-                self._nrm_dev,
-                _slack,
-                thresh,
-                jnp.asarray(R_pad),
-                jnp.asarray(ang_pad),
-                jnp.asarray(t8_pad),
-                jnp.asarray(ts8_pad),
-                mask,
-                h=(self.ev.h if p.trim_fraction > 0 else 0),
-                lookup=p.lookup,
-                backend=self._backend,
-                tile=p.point_tile,
-                tgt_tile=256,
-                refine_k=p.refine_top_k,
-                icp_params=self._icp_params_round,
-                icp_backend=self._icp_backend,
-            )
-            return out, np.repeat(R_g, 8, axis=0)
+        converged = drv.best_sse <= self.sse_thresh
 
         from collections import deque
 
@@ -410,62 +227,36 @@ class GoIcpSolverMultiHost(GoIcpSolver):
 
         def dispatch():
             """Pop + expand one HOMOGENEOUS local round and LAUNCH its
-            kernel (async); the results are fetched by :func:`absorb`.
-            Purely local — no collectives — so processes may run different
-            depths in flight.  T-rounds ride the grouped 8-sibling kernel;
-            R-rounds (and leaves) the singleton kernel.  While the ROOT is
-            un-expanded (fresh start, or re-included by a resumed
-            checkpoint) the round is forced singleton from the root's
-            frontier: its mod-P child partition breaks 8-sibling blocks
-            (the root may itself be a T-split)."""
+            kernel (async) through the shared driver; the results are
+            fetched by :meth:`Se3RoundDriver.absorb`.  Purely local — no
+            collectives — so processes may run different depths in flight.
+            T-rounds ride the grouped 8-sibling kernel; R-rounds (and
+            leaves) the singleton kernel.  While the ROOT is un-expanded
+            (fresh start, or re-included by a resumed checkpoint) the round
+            is forced singleton from the root's frontier: its mod-P child
+            partition breaks 8-sibling blocks (the root may itself be a
+            T-split)."""
             nonlocal root_pending
             use_T = (
                 not root_pending
-                and len(fT)
-                and (not len(fR) or fT.min_lb() <= fR.min_lb())
+                and len(drv.fT)
+                and (not len(drv.fR) or drv.fT.min_lb() <= drv.fR.min_lb())
             )
             if use_T:
-                pay, pop_lb, _ = fT.pop_best(pop_cap)
-                B = pay.shape[0]
-                m.count("se3_nodes", 8 * B)
-                half_t = pay[:, 7] / 2.0
-                child = np.repeat(pay, 8, axis=0)
-                child[:, 4:7] = (
-                    pay[:, None, 4:7]
-                    + _OCTANTS[None] * half_t[:, None, None]
-                ).reshape(8 * B, 3)
-                child[:, 7] = np.repeat(half_t, 8)
-                out, R_c = evaluate_grouped(pay)
-                parts = [(child, np.zeros(8 * B, bool), R_c, out, 8 * B)]
+                return drv.dispatch_T()
+            if root_pending:
+                src_f = (drv.fT if root_in_T else drv.fR)
+                if not len(src_f):      # root not in this slice after all
+                    src_f = drv.fR if len(drv.fR) else drv.fT
             else:
-                if root_pending:
-                    src_f = (fT if root_in_T else fR)
-                    if not len(src_f):      # root not in this slice after all
-                        src_f = fR if len(fR) else fT
-                else:
-                    src_f = fR if len(fR) else fT
-                pay, pop_lb, _ = src_f.pop_best(pop_cap)
-                split_rot, is_leaf = classify(pay)
-                B = pay.shape[0]
-                child = np.repeat(pay, 8, axis=0)
-                oct8 = np.tile(_OCTANTS, (B, 1))
-                sr = np.repeat(split_rot, 8)
-                lf = np.repeat(is_leaf, 8)
-                half_r = np.repeat(pay[:, 3], 8) / 2.0
-                half_t = np.repeat(pay[:, 7], 8) / 2.0
-                tr = ~sr & ~lf       # only possible while the root is pending
-                child[sr, 0:3] += oct8[sr] * half_r[sr, None]
-                child[sr, 3] = half_r[sr]
-                child[tr, 4:7] += oct8[tr] * half_t[tr, None]
-                child[tr, 7] = half_t[tr]
-                keep = np.ones(8 * B, bool)
-                if lf.any():
-                    keep &= ~lf | (np.arange(8 * B) % 8 == 0)
-                keep &= self.rotparam.valid(child[:, 0:3], child[:, 3])
+                src_f = drv.fR if len(drv.fR) else drv.fT
+
+            def _partition_root(pay, child, keep):
                 # the identical ROOT expansion partitions ITS children
                 # across processes (per-parent: a resumed batch can mix the
                 # root with ordinary nodes whose children are host-local);
                 # afterwards each host owns its subtree slices
+                nonlocal root_pending
                 if root_pending:
                     root_rows = np.all(
                         np.abs(pay - root[None]) < 1e-6, axis=1
@@ -473,67 +264,24 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     if root_rows.any():
                         if P > 1:
                             from_root = np.repeat(root_rows, 8)
-                            child_idx = np.tile(np.arange(8), B)
-                            keep &= ~from_root | (child_idx % P == pid)
+                            child_idx = np.tile(np.arange(8), pay.shape[0])
+                            keep = keep & (
+                                ~from_root | (child_idx % P == pid)
+                            )
                         root_pending = False
-                child, lf = child[keep], lf[keep]
-                Cs = child.shape[0]
-                parts = []
-                if Cs:
-                    assert Cs <= M_cap
-                    m.count("se3_nodes", Cs)
-                    out, R_c = evaluate(child)
-                    parts = [(child, lf, R_c, out, Cs)]
-            # the popped parents are in neither the frontier nor any pushed
-            # children until absorbed: report their lb/count so the global
-            # ε-rule and emptiness test stay conservative while in flight,
-            # and keep their payloads so checkpoints can re-include them
-            # (re-expansion on resume is idempotent)
-            return {
-                "parts": parts,
-                "parents": (pay, pop_lb),
-                "n_parents": B,
-                "min_parent_lb": float(pop_lb.min()) if B else float("inf"),
-            }
+                return keep
 
-        def absorb(work):
-            """Fetch one in-flight round; update incumbent, prune, push."""
-            nonlocal best_R, best_t, best_sse, leaf_lb
-            new_best = False
-            for child_o, lf_o, R_o, out, n in work["parts"]:
-                ub_d, lb_d, R_ref, t_ref, sse_ref, it_ref = \
-                    jax.device_get(out)
-                ub_c, lb_c = ub_d[:n], lb_d[:n]
-                m.count("icp_iters", int(it_ref.sum()))
-                j = int(np.argmin(sse_ref))
-                if float(sse_ref[j]) < best_sse:
-                    best_sse = float(sse_ref[j])
-                    best_R, best_t = R_ref[j], t_ref[j]
-                    new_best = True
-                j = int(np.argmin(ub_c))
-                if float(ub_c[j]) < best_sse:
-                    best_sse = float(ub_c[j])
-                    best_R, best_t = R_o[j], child_o[j, 4:7]
-                    new_best = True
-                alive = lb_c < best_sse - self.sse_thresh
-                if (alive & lf_o).any():
-                    leaf_lb = min(leaf_lb, float(lb_c[alive & lf_o].min()))
-                k2 = alive & ~lf_o
-                if k2.any():
-                    push_classified(child_o[k2], lb_c[k2], ub_c[k2])
-            return new_best
+            return drv.dispatch_singleton(
+                src_f, child_filter=_partition_root
+            )
 
         def save_checkpoint():
             """Atomic per-process snapshot.  In-flight rounds' popped parents
             are re-included (they are in neither the frontier nor any pushed
             children yet — same pipeline-safety rule as ``bnb/se3.py``)."""
-            payR, lbR, ubR = fR.dump()
-            payT, lbT, ubT = fT.dump()
-            pay = np.concatenate([payR, payT])
-            lb = np.concatenate([lbR, lbT])
-            ub = np.concatenate([ubR, ubT])
+            pay, lb, ub = drv.dump_frontiers()
             for w in inflight:
-                ppay, plb = w["parents"]
+                ppay, plb, _pub = w["parents"]
                 if ppay.shape[0]:
                     pay = np.concatenate([pay, ppay])
                     lb = np.concatenate([lb, plb])
@@ -543,15 +291,15 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # in-flight parents get re-expanded on resume, so their
             # already-counted children must not be counted twice
             inflight_children = sum(
-                n for w in inflight for *_x, n in w["parts"]
+                pt[-1] for w in inflight for pt in w["parts"]
             )
             tmp = ck_path + ".tmp.npz"
             np.savez(
                 tmp,
                 payload=pay, lb=lb, ub=ub,
-                best_R=best_R, best_t=best_t,
-                best_sse=np.float32(best_sse),
-                leaf_lb=np.float32(leaf_lb),
+                best_R=drv.best_R, best_t=drv.best_t,
+                best_sse=np.float32(drv.best_sse),
+                leaf_lb=np.float32(drv.leaf_lb),
                 rounds=np.int64(max(rounds, 1)),
                 nodes=np.int64(
                     m.counters.get("se3_nodes", 0) - inflight_children
@@ -572,18 +320,18 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # applies verbatim: staleness only weakens incumbent pruning;
             # every node is still evaluated.
             new_best = False
-            if f_len() and not converged and len(inflight) < depth:
+            if drv.f_len() and not converged and len(inflight) < depth:
                 rounds += 1
                 inflight.append(dispatch())
             if inflight and (
                 len(inflight) >= depth
-                or not (f_len() and not converged)
+                or not (drv.f_len() and not converged)
             ):
-                new_best = absorb(inflight.popleft())
+                new_best = drv.absorb(inflight.popleft())
 
             # ---- lockstep exchange (every process, every iteration) --------
             if new_best:
-                f_prune(best_sse - self.sse_thresh)
+                drv.f_prune(drv.best_sse - self.sse_thresh)
             inflight_lb = min(
                 (w["min_parent_lb"] for w in inflight), default=float("inf")
             )
@@ -594,27 +342,29 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             # sizes are ≥), so the gap rule and the emptiness test can only
             # fire one iteration later, never early.
             rec = np.zeros(16, np.float32)
-            rec[0] = best_sse
-            rec[1:10] = np.asarray(best_R, np.float32).reshape(9)
-            rec[10:13] = np.asarray(best_t, np.float32)
-            rec[13] = min(f_min_lb(), leaf_lb, inflight_lb)
-            rec[14] = float(f_len() + sum(w["n_parents"] for w in inflight))
+            rec[0] = drv.best_sse
+            rec[1:10] = np.asarray(drv.best_R, np.float32).reshape(9)
+            rec[10:13] = np.asarray(drv.best_t, np.float32)
+            rec[13] = min(drv.f_min_lb(), drv.leaf_lb, inflight_lb)
+            rec[14] = float(
+                drv.f_len() + sum(w["n_parents"] for w in inflight)
+            )
             rec[15] = float(
                 it >= p.max_rounds
                 or time.perf_counter() - t_start > p.max_wall_s
             )
             allr = _allgather_np(rec)                      # [P, 16]
             j = int(np.argmin(allr[:, 0]))
-            if float(allr[j, 0]) <= best_sse:
+            if float(allr[j, 0]) <= drv.best_sse:
                 # Adopt row j UNCONDITIONALLY on ties: on an exact f32 sse
                 # tie between processes holding different poses, a strict <
                 # would leave the tying process with its own pose while the
                 # others adopt j's — breaking the cross-process bit-identical
                 # pose invariant the headline record asserts.
-                best_sse = float(allr[j, 0])
-                best_R = allr[j, 1:10].reshape(3, 3)
-                best_t = allr[j, 10:13]
-            f_prune(best_sse - self.sse_thresh)
+                drv.best_sse = float(allr[j, 0])
+                drv.best_R = allr[j, 1:10].reshape(3, 3)
+                drv.best_t = allr[j, 10:13]
+            drv.f_prune(drv.best_sse - self.sse_thresh)
             # `it` is global, so all P slices snapshot at the same cut
             if ck_path and it % max(p.checkpoint_every, 1) == 0:
                 save_checkpoint()
@@ -622,17 +372,17 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             sizes = allr[:, 14]
             total = float(sizes.sum())
 
-            if best_sse <= self.sse_thresh:
+            if drv.best_sse <= self.sse_thresh:
                 converged = True
-            if best_sse - g_min_lb <= self.sse_thresh or total == 0:
+            if drv.best_sse - g_min_lb <= self.sse_thresh or total == 0:
                 converged = True
             if new_best or it % 16 == 0:
                 _n = int(m.counters.get("se3_nodes", 0))
                 self.progress.publish(SolverState(
-                    opt_R=np.asarray(best_R), opt_t=np.asarray(best_t),
-                    cur_R=np.asarray(best_R), cur_t=np.asarray(best_t),
-                    best_sse=float(best_sse),
-                    gap=float(max(best_sse - g_min_lb, 0.0)),
+                    opt_R=np.asarray(drv.best_R), opt_t=np.asarray(drv.best_t),
+                    cur_R=np.asarray(drv.best_R), cur_t=np.asarray(drv.best_t),
+                    best_sse=float(drv.best_sse),
+                    gap=float(max(drv.best_sse - g_min_lb, 0.0)),
                     finished=False, rot_nodes=_n, trans_nodes=_n, round=it,
                 ))
             # unanimous break: converged/g_min_lb/sizes are identical on all
@@ -661,8 +411,8 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     or sizes.max() > 2 * max(sizes.min(), 1.0)
                 )
             ):
-                payR, lbR, ubR = fR.pop_best(exchange_k)
-                payT, lbT, ubT = fT.pop_best(exchange_k)
+                payR, lbR, ubR = drv.fR.pop_best(exchange_k)
+                payT, lbT, ubT = drv.fT.pop_best(exchange_k)
                 pay = np.concatenate([payR, payT])
                 lb = np.concatenate([lbR, lbT])
                 ub = np.concatenate([ubR, ubT])
@@ -677,7 +427,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 order = np.argsort(merged[:, 8], kind="stable")
                 mine = order[pid::P]
                 if mine.size:
-                    push_classified(
+                    drv.push_classified(
                         merged[mine, :8], merged[mine, 8], merged[mine, 9]
                     )
                 m.count("rebalances", 1)
@@ -688,18 +438,20 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         # lockstep-identical incumbent (every process breaks on the same
         # iteration, so the collective count stays uniform)
         while inflight:
-            absorb(inflight.popleft())
-        best_R, best_t, best_sse = self._exchange_incumbent(
-            best_R, best_t, best_sse
+            drv.absorb(inflight.popleft())
+        drv.best_R, drv.best_t, drv.best_sse = self._exchange_incumbent(
+            drv.best_R, drv.best_t, drv.best_sse
         )
         _bnb_phase.__exit__(None, None, None)
 
         # full-resolution polish (bound_points-capped solves): the incumbent
         # is exchange-identical on every process and the polish is
         # deterministic with no collectives, so lockstep is preserved
-        best_R, best_t, best_sse = self._full_polish(best_R, best_t, best_sse)
+        best_R, best_t, best_sse = self._full_polish(
+            drv.best_R, drv.best_t, drv.best_sse
+        )
 
-        gap = best_sse - min(g_min_lb, leaf_lb)
+        gap = best_sse - min(g_min_lb, drv.leaf_lb)
         wall = time.perf_counter() - t_start
         nodes = int(m.counters.get("se3_nodes", 0))
         self.log.info(
