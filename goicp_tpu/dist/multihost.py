@@ -136,6 +136,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             self, pop_cap=pop_cap, M_cap=M_cap, bucket_base=256,
             mesh=mesh, tight_ang=None, prune_on_best=False, diag=False,
             sharded_pad_full=True,
+            # interleaved 1.5× buckets measured SLOWER here (73 vs 60 s,
+            # 4×1-core headline): the extra compiled shapes cost more than
+            # the ~1% padding they save — see FUTURE.md round-5 ledger
         )
         drv.best_R, drv.best_t, drv.best_sse = best_R, best_t, best_sse
         root = drv.root
@@ -309,6 +312,16 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             )
             os.replace(tmp, ck_path)
 
+        # exchange cadence: the allgather serializes behind the in-flight
+        # rounds on the single device stream, so a per-iteration barrier
+        # pays queue-drain + straggler skew + Gloo every round (measured:
+        # 79% of the 4-proc wall inside the gather).  Exchanging every
+        # `exch` iterations amortizes all three; every gating condition
+        # stays a deterministic function of the global `it`, so the
+        # collective count is identical on every process.
+        exch = max(1, int(p.mh_exchange_every))
+        ck_every = max(1, p.checkpoint_every // exch)   # in exchanges
+
         _bnb_phase = m.phase("bnb")
         _bnb_phase.__enter__()
         while True:
@@ -322,16 +335,31 @@ class GoIcpSolverMultiHost(GoIcpSolver):
             new_best = False
             if drv.f_len() and not converged and len(inflight) < depth:
                 rounds += 1
-                inflight.append(dispatch())
+                _t = time.perf_counter()
+                work = dispatch()
+                m.timers["mh_dispatch_s"] += time.perf_counter() - _t
+                # phase breakdown (VERDICT r4 item 1): starved rounds run
+                # under-filled batches; padded-slot waste is the bucket
+                # width the kernel pays beyond the real jobs
+                if work["n_parents"] < pop_cap:
+                    m.count("mh_starved_rounds", 1)
+                m.count("mh_jobs", sum(pt[-1] for pt in work["parts"]))
+                m.count("mh_padded_jobs", work["width"])
+                inflight.append(work)
             if inflight and (
                 len(inflight) >= depth
                 or not (drv.f_len() and not converged)
             ):
+                _t = time.perf_counter()
                 new_best = drv.absorb(inflight.popleft())
+                m.timers["mh_absorb_s"] += time.perf_counter() - _t
 
-            # ---- lockstep exchange (every process, every iteration) --------
+            # ---- lockstep exchange (every process, every exch-th
+            # iteration — same `it` everywhere, so no dangling collectives)
             if new_best:
                 drv.f_prune(drv.best_sse - self.sse_thresh)
+            if it % exch != 0:
+                continue
             inflight_lb = min(
                 (w["min_parent_lb"] for w in inflight), default=float("inf")
             )
@@ -353,7 +381,12 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 it >= p.max_rounds
                 or time.perf_counter() - t_start > p.max_wall_s
             )
+            _t = time.perf_counter()
             allr = _allgather_np(rec)                      # [P, 16]
+            # barrier + collective wait: on a fair-pinned rig this is
+            # dominated by STRAGGLER SKEW (the slowest host's dispatch/
+            # absorb), not by Gloo transfer — the breakdown separates them
+            m.timers["mh_gather_s"] += time.perf_counter() - _t
             j = int(np.argmin(allr[:, 0]))
             if float(allr[j, 0]) <= drv.best_sse:
                 # Adopt row j UNCONDITIONALLY on ties: on an exact f32 sse
@@ -366,7 +399,9 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                 drv.best_t = allr[j, 10:13]
             drv.f_prune(drv.best_sse - self.sse_thresh)
             # `it` is global, so all P slices snapshot at the same cut
-            if ck_path and it % max(p.checkpoint_every, 1) == 0:
+            # (checkpoint_every is interpreted in exchange units when the
+            # cadence is wider — saves stay on exchange iterations)
+            if ck_path and (it // exch) % ck_every == 0:
                 save_checkpoint()
             g_min_lb = float(allr[:, 13].min())
             sizes = allr[:, 14]
@@ -411,6 +446,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                     or sizes.max() > 2 * max(sizes.min(), 1.0)
                 )
             ):
+                _t = time.perf_counter()
                 payR, lbR, ubR = drv.fR.pop_best(exchange_k)
                 payT, lbT, ubT = drv.fT.pop_best(exchange_k)
                 pay = np.concatenate([payR, payT])
@@ -431,6 +467,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
                         merged[mine, :8], merged[mine, 8], merged[mine, 9]
                     )
                 m.count("rebalances", 1)
+                m.timers["mh_rebalance_s"] += time.perf_counter() - _t
 
         # drain the pipeline: in-flight rounds may still hold a better
         # incumbent (their ICP refines were dispatched pre-convergence);
@@ -442,6 +479,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         drv.best_R, drv.best_t, drv.best_sse = self._exchange_incumbent(
             drv.best_R, drv.best_t, drv.best_sse
         )
+        m.counters["mh_iters"] = it
         _bnb_phase.__exit__(None, None, None)
 
         # full-resolution polish (bound_points-capped solves): the incumbent
@@ -470,7 +508,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         # full-cloud certificate (deterministic, collective-free — every
         # process computes it from the exchange-identical incumbent)
         sse_full, mse_full, gap_full = self._full_cert(
-            best_R, best_t, best_sse, gap
+            best_R, best_t, best_sse, gap, converged=converged
         )
         return GoIcpResult(
             transform=RigidTransform(best_R, best_t),

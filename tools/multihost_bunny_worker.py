@@ -70,6 +70,8 @@ params = BnbParams(
     se3_pop=int(os.environ.get("GOICP_MH_POP", "256") or 256),
     refine_top_k=4,
     pipeline_depth=int(os.environ.get("GOICP_MH_DEPTH", "3") or 3),
+    mh_exchange_every=int(os.environ.get("GOICP_MH_EXCH", "0") or 0)
+    or BnbParams().mh_exchange_every,
     max_rounds=20000,
     max_wall_s=1800.0,
 )
@@ -89,6 +91,21 @@ with open(out_path, "w") as f:
             "local_nodes": int(res.rot_nodes),
             "icp_iters": int(res.icp_iters),
             "rebalances": int(res.metrics.counters.get("rebalances", 0)),
+            # per-phase breakdown (VERDICT r4 item 1): where the lockstep
+            # wall goes on THIS host — host-side expansion, device wait,
+            # allgather barrier (incl. straggler skew), rebalancing — plus
+            # starvation and padded-slot waste
+            "phases": {
+                k: round(float(res.metrics.timers.get(k, 0.0)), 3)
+                for k in ("mh_dispatch_s", "mh_absorb_s", "mh_gather_s",
+                          "mh_rebalance_s")
+            },
+            "lockstep_iters": int(res.metrics.counters.get("mh_iters", 0)),
+            "starved_rounds": int(
+                res.metrics.counters.get("mh_starved_rounds", 0)
+            ),
+            "jobs": int(res.metrics.counters.get("mh_jobs", 0)),
+            "padded_jobs": int(res.metrics.counters.get("mh_padded_jobs", 0)),
             "rmse_vs_gt": float(
                 np.sqrt(np.mean(np.sum((pts - gt) ** 2, axis=1)))
             ),

@@ -104,7 +104,7 @@ def _run(nproc: int, subsample: float, thr: float) -> dict:
         assert r["R"] == recs[0]["R"] and r["t"] == recs[0]["t"]
     total_nodes = sum(r["local_nodes"] for r in recs)
     solver_wall = max(r["solver_wall_s"] for r in recs)
-    return {
+    out = {
         "processes": nproc,
         "total_wall_s": round(wall, 2),          # incl. startup/compiles
         "solver_wall_s": round(solver_wall, 2),  # the scaling quantity
@@ -119,19 +119,49 @@ def _run(nproc: int, subsample: float, thr: float) -> dict:
         "R": recs[0]["R"],
         "t": recs[0]["t"],
     }
+    if nproc > 1 and "phases" in recs[0]:
+        # per-phase wall breakdown, MEAN over hosts (VERDICT r4 item 1):
+        # dispatch = host-side expansion, absorb = device wait, gather =
+        # allgather barrier incl. straggler skew, rebalance = exchange
+        out["phases_mean_s"] = {
+            k.replace("mh_", "").replace("_s", ""): round(
+                sum(r["phases"][k] for r in recs) / nproc, 2
+            )
+            for k in recs[0]["phases"]
+        }
+        out["lockstep_iters"] = recs[0]["lockstep_iters"]
+        out["starved_round_frac"] = round(
+            sum(r["starved_rounds"] for r in recs)
+            / max(sum(r["rounds"] for r in recs), 1), 3,
+        )
+        jobs = sum(r["jobs"] for r in recs)
+        padded = sum(r["padded_jobs"] for r in recs)
+        out["padded_waste_frac"] = round(1.0 - jobs / max(padded, 1), 3)
+        out["nodes_per_iter"] = round(
+            total_nodes / max(recs[0]["lockstep_iters"], 1), 1
+        )
+    return out
 
 
 def run_headline(subsample: float = SUBSAMPLE, thr: float = THRESHOLD) -> dict:
     import numpy as np
 
-    def _best_of_two(nproc):
+    def _median_of_three(nproc):
         # the certification is deterministic per configuration, so the
-        # run-to-run spread is one-sided OS noise on this shared box —
-        # min solver_wall is the machine-capability estimate (the same
-        # convention as the headline bench's value_best), applied
-        # SYMMETRICALLY to every configuration including the baseline
-        a, b = _run(nproc, subsample, thr), _run(nproc, subsample, thr)
-        return a if a["solver_wall_s"] <= b["solver_wall_s"] else b
+        # run-to-run spread is OS noise on this shared box.  MEDIAN of 3
+        # with the spread recorded — a best-of-N convention can cherry-pick
+        # exactly the variance this record exists to expose (VERDICT r4
+        # weak #1), so the bench-of-record quantity is the median wall,
+        # applied symmetrically to every configuration incl. the baseline
+        runs = sorted(
+            (_run(nproc, subsample, thr) for _ in range(3)),
+            key=lambda r: r["solver_wall_s"],
+        )
+        med = runs[1]
+        med["wall_spread_s"] = [
+            runs[0]["solver_wall_s"], runs[2]["solver_wall_s"]
+        ]
+        return med
 
     # when embedded in bench.py the parent (and its TPU-tunnel helper
     # threads) idles on subprocess.wait but still competes for the 4
@@ -143,7 +173,7 @@ def run_headline(subsample: float = SUBSAMPLE, thr: float = THRESHOLD) -> dict:
     except OSError:
         prio0 = None
     try:
-        rows = [_best_of_two(p) for p in (1, 2, 4)]
+        rows = [_median_of_three(p) for p in (1, 2, 4)]
     finally:
         if prio0 is not None:
             try:
@@ -169,9 +199,11 @@ def run_headline(subsample: float = SUBSAMPLE, thr: float = THRESHOLD) -> dict:
         ),
         "rows": [
             {k: r[k] for k in (
-                "processes", "total_wall_s", "solver_wall_s", "total_nodes",
-                "nodes_per_s", "node_split", "rebalances",
-            )}
+                "processes", "total_wall_s", "solver_wall_s", "wall_spread_s",
+                "total_nodes", "nodes_per_s", "node_split", "rebalances",
+                "phases_mean_s", "lockstep_iters", "starved_round_frac",
+                "padded_waste_frac", "nodes_per_iter",
+            ) if k in r}
             for r in rows
         ],
     }
