@@ -184,6 +184,66 @@ def run_full_cloud_cert():
     }
 
 
+def run_trimmed_cert(rounds=200):
+    """TRIMMED ε-certification throughput record (VERDICT r4 item 2 —
+    previously untracked: the only trimmed-cert measurement lived in
+    FUTURE.md prose).  Real-bunny source @0.05, target = rigid + σ=0.01
+    noise + 5% far outliers, trim 0.1, threshold below the trimmed
+    noise-floor optimum (measured 2.07e-4 on TPU: trimming drops the
+    noise tail too, so the floor sits under 3sigma^2) → a genuine trimmed certification (the threshold
+    rule can never fire; the incumbent prunes from round 1).  FIXED round
+    budget: trimmed ε-certification has a measured convergence cliff
+    (FUTURE.md round-5 ledger), so the stable tracked quantity is
+    certification THROUGHPUT over a deterministic tree prefix.  A/B: the
+    default unfused trimmed path (``"mxu"``: grouped kernel + XLA [M,Np]
+    bisection epilogue) vs the fused screened trimmed kernels
+    (``"screen"``: clamped-sum screens + in-kernel bisection; grouped form
+    new in round 5)."""
+    import dataclasses
+
+    from goicp_tpu.bnb import BnbParams, make_solver
+    from goicp_tpu.io import load_cloud
+    from goicp_tpu.geo.rotation import random_rotations
+
+    base = os.path.join(_HERE, "data", "bunny")
+    src = load_cloud(os.path.join(base, "data_bunny.txt"), subsample=0.05,
+                     seed=0)
+    rng = np.random.default_rng(31)
+    Q = random_rotations(1, rng)[0]
+    t = np.float32([0.12, -0.07, 0.09])
+    tgt = (src @ Q.T + t
+           + rng.normal(size=src.shape).astype(np.float32) * 0.01)
+    k = src.shape[0] // 20
+    tgt[:k] += rng.normal(size=(k, 3)).astype(np.float32) * 1.5
+    tgt = tgt.astype(np.float32)
+    out = {"n_src": int(src.shape[0]), "trim_fraction": 0.1,
+           "mse_threshold": 1.8e-4, "rounds_budget": rounds,
+           "protocol": "fixed-round trimmed certification prefix "
+                       "(sigma 0.01, 5% outliers, thr < trimmed optimum)"}
+    for backend in ("mxu", "screen"):
+        p = BnbParams(
+            mse_threshold=1.8e-4, trim_fraction=0.1, bound_backend=backend,
+            trans_span=0.5, max_rounds=rounds, max_wall_s=900.0,
+        )
+        # compile-only warmup (2 rounds), then the timed fixed-round run
+        make_solver(src, tgt, dataclasses.replace(p, max_rounds=2)).run()
+        t0 = time.perf_counter()
+        res = make_solver(src, tgt, p).run()
+        wall = time.perf_counter() - t0
+        out[backend] = {
+            "wall_s": round(wall, 3),
+            "nodes": int(res.rot_nodes),
+            "nodes_per_s": round(res.rot_nodes / wall),
+            "gap": float(res.gap),
+            "mse": float(res.mse),
+        }
+    if out["mxu"].get("nodes_per_s") and out["screen"].get("nodes_per_s"):
+        out["screen_vs_mxu"] = round(
+            out["screen"]["nodes_per_s"] / out["mxu"]["nodes_per_s"], 3
+        )
+    return out
+
+
 def run_grid_backend():
     """Full-resolution skull (98k-point resident target) — the GRID bound/
     ICP backend's hardware record (the reference's LUT analogue, C11/C18):
@@ -547,6 +607,12 @@ def main():
         grid_rec = {"error": f"{type(e).__name__}: {e}"}
 
     try:
+        trimmed_cert = run_trimmed_cert()
+    except Exception as e:
+        traceback.print_exc()
+        trimmed_cert = {"error": f"{type(e).__name__}: {e}"}
+
+    try:
         multipair = run_multipair()
     except Exception as e:
         traceback.print_exc()
@@ -614,6 +680,7 @@ def main():
             "headline_with_reference_invalid_radius": refbug,
             "quaternion_param": quat,
             "full_cloud_cert": full_cert,
+            "trimmed_cert": trimmed_cert,
             "grid_backend_98k_target": grid_rec,
             "multipair_lockstep": multipair,
             "multipair_trimmed_lockstep": multipair_trimmed,
@@ -649,6 +716,10 @@ def main():
             "scenarios_converged": f"{scen_ok}/{len(scen)}",
             "refbug_ab_wall_s": refbug.get("wall_s"),
             "quaternion_wall_s": quat.get("wall_s"),
+            "trimmed_cert_wall_s": (trimmed_cert.get("mxu") or {}).get(
+                "wall_s"),
+            "trimmed_cert_screen_vs_mxu": trimmed_cert.get("screen_vs_mxu"),
+            "full_cert_gap_le_eps": full_cert.get("gap_full_le_eps"),
             "serving_batch_per_query_s": serving.get("batch_per_query_s"),
             "multihost_headline": _compact_multihost(out["detail"]),
         }

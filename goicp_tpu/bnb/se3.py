@@ -290,6 +290,33 @@ def evaluate_se3_nodes_screened(
     return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
 
 
+@functools.partial(jax.jit, static_argnames=("h",))
+def evaluate_se3_groups_screened(
+    src, norms, tgt, slack, thresh, R, max_angle, t8, t_span8, mask, *, h: int,
+):
+    """Fused screened TRIMMED bounds for 8-sibling translation groups
+    (``nn.mxu.bounds_groups_trimmed``): the shared base plane of the
+    grouped kernel + the clamped-sum screen and in-kernel bisection of the
+    singleton trimmed kernel (VERDICT r4 item 2 — the round-4 trimmed
+    T-rounds paid the unfused path plus an ``[M, Np]`` materialized
+    epilogue).  Only meaningful for ``0 < h < N``; opt in with
+    ``bound_backend="screen"`` on trimmed solves."""
+    from goicp_tpu.nn import mxu as _mxu
+
+    N = src.shape[0]
+    drop = N - h
+    af = 2.0 * jnp.sin(jnp.minimum(max_angle, jnp.pi) / 2.0)   # [G]
+    gt8 = _SQRT3 * t_span8                                      # [G,8]
+    srcT = _mxu.pack_sources_ext(src, norms)
+    wm = _mxu.pack_targets(tgt)
+    tau = 2.0 * jnp.maximum(thresh, 0.0) / h
+    params = _mxu.pack_group_params_bounds_trimmed(
+        R, t8, af, gt8, slack, thresh + drop * tau, tau
+    )
+    ub, lb = _mxu.bounds_groups_trimmed(srcT, wm, params, h=h, drop=drop)
+    return jnp.where(mask, ub, _INF), jnp.where(mask, lb, _INF)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -392,12 +419,21 @@ def se3_round_grouped(
     G = R.shape[0]
     R_flat = jnp.repeat(R, 8, axis=0)                  # [8G,3,3]
     t_flat = t8.reshape(8 * G, 3)
-    if backend in ("mxu", "screen"):
-        # T-rounds stay on the UNFUSED grouped kernel even when screening:
-        # the fused kernel's predicated block loop costs ~40% of the rate
-        # when not skipping (235 vs 388 G measured), and group-granularity
-        # skips (all 8 siblings must cross) fire too rarely to pay it back
-        # (measured: R+T screened solve 12.7 s vs 9.0 s with T unfused).
+    if backend == "screen" and h not in (0, src.shape[0]):
+        # TRIMMED screened T-rounds: the grouped trimmed kernel (shared
+        # base plane + clamped-sum screen + in-kernel bisection) replaces
+        # the unfused path's [M, Np] materialized trimmed epilogue
+        ub, lb = evaluate_se3_groups_screened(
+            src, norms, tgt, slack, thresh, R, max_angle, t8, t_span8,
+            mask, h=h,
+        )
+    elif backend in ("mxu", "screen"):
+        # UNTRIMMED T-rounds stay on the UNFUSED grouped kernel even when
+        # screening: the fused kernel's predicated block loop costs ~40% of
+        # the rate when not skipping (235 vs 388 G measured), and group-
+        # granularity skips (all 8 siblings must cross) fire too rarely to
+        # pay it back (measured: R+T screened solve 12.7 s vs 9.0 s with T
+        # unfused).
         ub, lb = evaluate_se3_groups_mxu(
             src, norms, tgt, slack, R, max_angle, t8, t_span8, mask, h=h,
         )

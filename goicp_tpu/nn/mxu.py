@@ -784,6 +784,193 @@ def bounds_nodes_trimmed(srcT_ext, wm, params, *, h: int, drop: int,
     )
 
 
+def _bounds_trimmed_grouped_kernel(params_ref, src_ref, wm_ref, out_ref,
+                                   scr_ref, *, n_chunks: int, tm: int,
+                                   tq: int, nb: int, h: int, drop: int):
+    """Grouped (8 translation siblings / rotation) screened TRIMMED bounds
+    (one program per group) — the trimmed twin of ``_bounds_grouped_kernel``
+    with ``_bounds_trimmed_kernel``'s clamped-sum screen + in-kernel
+    bisection:
+
+    - the 9-op/pair base plane is computed ONCE per group (separability —
+      see ``_min_d2_grouped_kernel``);
+    - each sibling carries its own clamped partial sum ``Σ min(l̃ᵢ, τ)``;
+      the next point-block is skipped once EVERY sibling crosses
+      ``thresh' = thresh + (N−h)·τ`` (group granularity — per-sibling
+      masking saves nothing on the VPU, the shared plane is the cost);
+    - survivors' per-sibling contributions are staged in a ``[16, Np]``
+      VMEM scratch (8 ub rows + 8 lb rows) and reduced by the 24-step
+      threshold bisection, exact at both bound ends.
+
+    ``params`` row [64]: R×9, t8×24, |t_j|²×8, af, γt×8 (42-49), slack,
+    thresh', τ (52).  ``out [G,1,128]``: cols 0-7 sibling ubs, 8-15 lbs.
+    """
+    g = pl.program_id(0)
+    thresh_eff = params_ref[g, 51]
+    slack = params_ref[g, 50]
+    af = params_ref[g, 41]
+    tau = params_ref[g, 52]
+
+    def block(n, carry):
+        def compute(acc0):
+            sl = pl.dslice(n * tq, tq)
+            px = src_ref[0:1, sl]
+            py = src_ref[1:2, sl]
+            pz = src_ref[2:3, sl]
+            pn = src_ref[3:4, sl]
+            pv = src_ref[4:5, sl]
+            ux = px * params_ref[g, 0] + py * params_ref[g, 1] \
+                + pz * params_ref[g, 2]
+            uy = px * params_ref[g, 3] + py * params_ref[g, 4] \
+                + pz * params_ref[g, 5]
+            uz = px * params_ref[g, 6] + py * params_ref[g, 7] \
+                + pz * params_ref[g, 8]
+
+            def body(c, best):
+                w = wm_ref[pl.dslice(c * tm, tm), :]
+                wx = w[:, 0:1]
+                wy = w[:, 1:2]
+                wz = w[:, 2:3]
+                dx = wx - ux
+                dy = wy - uy
+                dz = wz - uz
+                Gp = dx * dx + dy * dy + dz * dz           # base plane, once
+                rows = []
+                for j in range(8):
+                    tx = params_ref[g, 9 + 3 * j]
+                    ty = params_ref[g, 10 + 3 * j]
+                    tz = params_ref[g, 11 + 3 * j]
+                    bj = params_ref[g, 33 + j] \
+                        - 2.0 * (tx * wx + ty * wy + tz * wz)
+                    rows.append(jnp.min(Gp + bj, axis=0, keepdims=True))
+                return jnp.minimum(best, jnp.concatenate(rows, axis=0))
+
+            best = jax.lax.fori_loop(
+                0, n_chunks, body,
+                jnp.full((8, tq), jnp.inf, jnp.float32),
+            )
+            accs = []
+            for j in range(8):
+                tx = params_ref[g, 9 + 3 * j]
+                ty = params_ref[g, 10 + 3 * j]
+                tz = params_ref[g, 11 + 3 * j]
+                aj = 2.0 * (tx * ux + ty * uy + tz * uz)
+                d2 = jnp.maximum(best[j : j + 1, :] + aj, 0.0)
+                d = jnp.sqrt(d2)
+                d_hi = d + slack
+                d_lo = jnp.maximum(d - slack, 0.0)
+                defl = af * pn + params_ref[g, 42 + j]
+                lb_c = jnp.maximum(d_lo - defl, 0.0) ** 2
+                ub_c = d_hi * d_hi
+                scr_ref[j : j + 1, sl] = ub_c * pv + (1.0 - pv) * 1e30
+                scr_ref[8 + j : 9 + j, sl] = lb_c * pv + (1.0 - pv) * 1e30
+                accs.append(jnp.sum(jnp.minimum(lb_c, tau) * pv))
+            return acc0 + jnp.stack(accs).reshape(1, 8)
+
+        return jax.lax.cond(
+            jnp.min(carry) < thresh_eff, compute, lambda a: a, carry
+        )
+
+    acc = jax.lax.fori_loop(0, nb, block, jnp.zeros((1, 8), jnp.float32))
+    screened = jnp.min(acc) >= thresh_eff       # group-level skip fired
+
+    # exact trimmed sums over the staged contributions: one 24-step
+    # threshold bisection over all 16 rows at once (survivor groups only —
+    # a screened group's scratch is incomplete and its branch is discarded)
+    x = scr_ref[:, :]                                      # [16, Np]
+    rowmax = jnp.max(jnp.where(x < 1e29, x, 0.0), axis=-1, keepdims=True)
+    lo0 = jnp.zeros_like(rowmax)
+    hi0 = rowmax + 1e-12
+
+    def bisect(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x <= mid).astype(jnp.float32), axis=-1, keepdims=True)
+        take = cnt >= h
+        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 24, bisect, (lo0, hi0))
+    sel = x <= lo
+    S = jnp.sum(jnp.where(sel, x, 0.0), axis=-1, keepdims=True)
+    C = jnp.sum(sel.astype(jnp.float32), axis=-1, keepdims=True)
+    rem = jnp.maximum(h - C, 0.0)
+    ub_exact = (S + rem * hi)[0:8, 0]                      # upper end
+    lb_exact = (S + rem * lo)[8:16, 0]                     # lower end
+
+    ub = jnp.where(screened, 1e30, ub_exact)               # [8]
+    lb = jnp.where(screened, acc[0] - drop * tau, lb_exact)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.zeros((1, 128), jnp.float32)
+    for j in range(8):
+        row = jnp.where(col == j, ub[j], row)
+        row = jnp.where(col == 8 + j, lb[j], row)
+    out_ref[0, :, :] = row
+
+
+@functools.partial(jax.jit, static_argnames=("h", "drop", "interpret"))
+def _bounds_trimmed_grouped_padded(gparams, srcT, wm, *, h: int, drop: int,
+                                   interpret: bool):
+    G = gparams.shape[0]
+    Np, Mp = srcT.shape[1], wm.shape[0]
+    tq = _pick_tile(Np, TQB)
+    tm = _pick_tile(Mp, TM)
+    nb = Np // tq
+    out = pl.pallas_call(
+        functools.partial(
+            _bounds_trimmed_grouped_kernel, n_chunks=Mp // tm, tm=tm, tq=tq,
+            nb=nb, h=h, drop=drop,
+        ),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((G, 64), lambda g: (0, 0)),
+            pl.BlockSpec((8, Np), lambda g: (0, 0)),
+            pl.BlockSpec((Mp, 8), lambda g: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda g: (g, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((G, 1, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, Np), jnp.float32)],
+        interpret=interpret,
+    )(gparams, srcT, wm)[0]
+    ub = out[:, 0, 0:8].reshape(8 * G)                     # group-major
+    lb = out[:, 0, 8:16].reshape(8 * G)
+    return ub, lb
+
+
+def pack_group_params_bounds_trimmed(R, t8, af, gt8, slack, thresh_eff,
+                                     tau) -> jnp.ndarray:
+    """``[G,64]`` rows (R×9, t8×24, |t_j|²×8, af, γt×8, slack, thresh', τ,
+    pad) for the grouped trimmed kernel."""
+    R = jnp.asarray(R, jnp.float32)
+    t8 = jnp.asarray(t8, jnp.float32)
+    G = R.shape[0]
+    tn = jnp.sum(t8 * t8, axis=-1)                         # [G, 8]
+    return jnp.concatenate(
+        [
+            R.reshape(G, 9),
+            t8.reshape(G, 24),
+            tn,
+            jnp.asarray(af, jnp.float32)[:, None],
+            jnp.asarray(gt8, jnp.float32).reshape(G, 8),
+            jnp.broadcast_to(jnp.float32(slack), (G,))[:, None],
+            jnp.broadcast_to(jnp.asarray(thresh_eff, jnp.float32), (G,))[:, None],
+            jnp.broadcast_to(jnp.asarray(tau, jnp.float32), (G,))[:, None],
+            jnp.zeros((G, 11), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def bounds_groups_trimmed(srcT_ext, wm, gparams, *, h: int, drop: int,
+                          interpret=None):
+    """Fused screened TRIMMED bounds for 8-sibling groups: ``(ub, lb)
+    [8·G]`` in group-major node order."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _bounds_trimmed_grouped_padded(
+        gparams, srcT_ext, wm, h=h, drop=drop, interpret=interpret
+    )
+
+
 def pack_params_bounds(R, t, af, gt, slack, thresh) -> jnp.ndarray:
     """``[B,16]`` rows (R×9, t×3, af, γt, slack, thresh)."""
     R = jnp.asarray(R, jnp.float32)

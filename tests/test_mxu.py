@@ -313,3 +313,77 @@ def test_bounds_groups_screening_is_valid(rng):
     assert (ub[8:] >= 1e29).all()
     assert (lb[8:] >= thresh - 1e-4).all()
     assert (lb[8:] <= lb_ref[8:] + 1e-3).all()
+
+
+def test_bounds_groups_trimmed_unscreened_matches_oracle(rng):
+    """Grouped trimmed kernel (VERDICT r4 item 2) vs the numpy trimmed
+    oracle, no screening (thresh=inf): exact within bisection tolerance,
+    bracketing from the sound sides."""
+    src, tgt, Rg, _ = _scene(rng, b=3)
+    G = 3
+    h = int(src.shape[0] * 0.85)
+    drop = src.shape[0] - h
+    t8 = (rng.random((G, 8, 3)).astype(np.float32) - 0.5) * 0.3
+    af = rng.random(G).astype(np.float32) * 0.3
+    gt8 = rng.random((G, 8)).astype(np.float32) * 0.1
+    ub_ref, lb_ref = _oracle_bounds_trimmed(
+        src, tgt, np.repeat(Rg, 8, axis=0), t8.reshape(-1, 3),
+        np.repeat(af, 8), gt8.reshape(-1), h,
+    )
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    gparams = mxu.pack_group_params_bounds_trimmed(
+        Rg, t8, af, gt8, 0.0, 1e30, 1e30
+    )
+    ub, lb = map(
+        np.asarray,
+        mxu.bounds_groups_trimmed(srcT, wm, gparams, h=h, drop=drop,
+                                  interpret=True),
+    )
+    assert (ub >= ub_ref - 1e-4).all(), (ub - ub_ref).min()
+    assert (lb <= lb_ref + 1e-4).all(), (lb - lb_ref).max()
+    assert np.allclose(ub, ub_ref, rtol=1e-3, atol=1e-3)
+    assert np.allclose(lb, lb_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_bounds_groups_trimmed_screening_is_valid(rng):
+    """Group-level screening on the trimmed grouped kernel: screened
+    groups report per-sibling clamped-sum lbs that are ≥ thresh (prunable)
+    AND ≤ the exact trimmed lbs (sound); survivor groups are exact."""
+    src, tgt, Rg, _ = _scene(rng, n=512, b=4)
+    G = 4
+    h = int(src.shape[0] * 0.9)
+    drop = src.shape[0] - h
+    t8 = np.tile(np.float32([2.0, 0, 0]), (G, 8, 1)) + (
+        rng.random((G, 8, 3)).astype(np.float32) - 0.5
+    ) * 0.1
+    t8[0] *= 0.0                             # group 0 near: must NOT screen
+    af = np.full(G, 0.05, np.float32)
+    gt8 = np.full((G, 8), 0.02, np.float32)
+    ub_ref, lb_ref = _oracle_bounds_trimmed(
+        src, tgt, np.repeat(Rg, 8, axis=0), t8.reshape(-1, 3),
+        np.repeat(af, 8), gt8.reshape(-1), h,
+    )
+    thresh = float(np.sort(lb_ref)[8] * 0.5)   # past group 0's siblings
+    tau = 2.0 * thresh / h
+    srcT = mxu.pack_sources_ext(src, np.linalg.norm(src, axis=1))
+    wm = mxu.pack_targets(tgt)
+    gparams = mxu.pack_group_params_bounds_trimmed(
+        Rg, t8, af, gt8, 0.0, thresh + drop * tau, tau
+    )
+    ub, lb = map(
+        np.asarray,
+        mxu.bounds_groups_trimmed(srcT, wm, gparams, h=h, drop=drop,
+                                  interpret=True),
+    )
+    screened = 0
+    for b in range(8 * G):
+        if ub[b] >= 1e29:        # the whole group screened
+            screened += 1
+            assert lb[b] >= thresh - 1e-4
+            assert lb[b] <= lb_ref[b] + 1e-3
+        else:
+            assert np.isclose(ub[b], ub_ref[b], rtol=1e-3, atol=1e-3)
+            assert np.isclose(lb[b], lb_ref[b], rtol=1e-3, atol=1e-3)
+    assert screened >= 16        # the far groups actually screen
+    assert (ub[0:8] < 1e29).all()  # the near group fully evaluated
