@@ -71,26 +71,6 @@ def _coverage_order(full: np.ndarray, sub: np.ndarray) -> np.ndarray:
     return np.argsort(-d, kind="stable")
 
 
-def _score_full_trimmed(solver, R, t, trim_fraction: float) -> float:
-    """(Trimmed) SSE of the FULL source cloud at one pose, on the solver's
-    resident correspondence backend (the same scoring pass as
-    ``GoIcpSolver._full_cert``)."""
-    import jax.numpy as jnp
-
-    from goicp_tpu.bnb.solver import _exact_icp, _grid_icp
-    from goicp_tpu.icp import IcpParams
-
-    params = IcpParams(max_iter=0, rel_tol=0.0, trim_fraction=trim_fraction)
-    full = jnp.asarray(solver.src_full)
-    Rb = jnp.asarray(np.asarray(R, np.float32)[None])
-    tb = jnp.asarray(np.asarray(t, np.float32)[None])
-    if solver._icp_backend == "exact":
-        res = _exact_icp(full, solver._tgt_dev, Rb, tb, params)
-    else:
-        res = _grid_icp(full, solver.grid, solver._tgt_dev, Rb, tb, params)
-    return float(np.asarray(res.sse)[0])
-
-
 def register_full_cert(
     src,
     tgt,
@@ -166,6 +146,11 @@ def register_full_cert(
             src, tgt, p_sub, progress, grid=grid, normals=normals,
             bound_idx=None if sub_n == N else idx,
         )
+        if grid is None:
+            # the target is identical every refinement: reuse the first
+            # solver's distance field instead of rebuilding it per loop
+            # (the serving reuse hook — review r5 item 5)
+            grid = solver.grid
         res = solver.run(prior)
         prior = res.transform
 
@@ -181,12 +166,21 @@ def register_full_cert(
             h_s = solver.ev.h
             eps_s = solver.sse_thresh
             g = max(res.gap, 0.0)
-            # converged solves admit the tighter min(gap, ε) slack — the
-            # same two-rule argument as GoIcpSolver._full_cert
-            slack_g = min(g, eps_s) if res.converged else g
+            # Subset-optimum slack by termination rule (the same ladder as
+            # GoIcpSolver._full_cert).  res.gap == 0.0 is ambiguous here:
+            # the result field collapses the emptied-frontier −inf to 0,
+            # and an exhausted frontier only guarantees opt ≥ best − ε_s —
+            # so a zero gap conservatively takes the ε_s slack (review r5
+            # item 2: min(0, ε) would overclaim by ε_s).
+            if res.sse <= eps_s:
+                slack_g = min(g, eps_s)
+            elif g == 0.0:
+                slack_g = eps_s
+            else:
+                slack_g = g
             sub_opt_lb = res.sse - slack_g - 0.01 * eps_s
-            sse_full = _score_full_trimmed(
-                solver, res.transform.R, res.transform.t, trim
+            sse_full = solver.score_full(
+                res.transform.R, res.transform.t, trim
             )
             res = dataclasses.replace(
                 res,

@@ -319,7 +319,7 @@ class GoIcpSolverSE3(GoIcpSolver):
 
         gap = best_sse - min(drv.f_min_lb(), drv.leaf_lb)
         sse_full, mse_full, gap_full = self._full_cert(
-            best_R, best_t, best_sse, gap, converged=converged
+            best_R, best_t, best_sse, gap
         )
         wall = time.perf_counter() - t_start
         nodes = int(m.counters.get("se3_nodes", 0))

@@ -379,7 +379,28 @@ class GoIcpSolver:
             return R_p, t_p, sse_p
         return best_R, best_t, best_sse
 
-    def _full_cert(self, best_R, best_t, best_sse, gap, converged=False):
+    def score_full(self, R, t, trim_fraction: Optional[float] = None):
+        """(Trimmed) SSE of the FULL source cloud at one pose, on the
+        solver's resident correspondence backend — the single scoring pass
+        behind :meth:`_full_cert` and the trimmed transfer in
+        ``bnb.fullcert`` (one implementation, review r5 item 7)."""
+        params = IcpParams(
+            max_iter=0, rel_tol=0.0,
+            trim_fraction=(
+                self.p.trim_fraction if trim_fraction is None
+                else trim_fraction
+            ),
+        )
+        full = jnp.asarray(self.src_full)
+        Rb = jnp.asarray(np.asarray(R, np.float32)[None])
+        tb = jnp.asarray(np.asarray(t, np.float32)[None])
+        if self._icp_backend == "exact":
+            res = _exact_icp(full, self._tgt_dev, Rb, tb, params)
+        else:
+            res = _grid_icp(full, self.grid, self._tgt_dev, Rb, tb, params)
+        return float(np.asarray(res.sse)[0])
+
+    def _full_cert(self, best_R, best_t, best_sse, gap):
         """Full-cloud certificate under ``bound_points`` (see the field
         docs on :class:`GoIcpResult`): ``(sse_full, mse_full, gap_full)``,
         all None when the BnB solved the whole cloud.  One scoring pass on
@@ -389,17 +410,7 @@ class GoIcpSolver:
         n_full = self.src_full.shape[0]
         if n_full <= self.src.shape[0]:
             return None, None, None
-        params = IcpParams(
-            max_iter=0, rel_tol=0.0, trim_fraction=self.p.trim_fraction
-        )
-        full = jnp.asarray(self.src_full)
-        Rb = jnp.asarray(np.asarray(best_R, np.float32)[None])
-        tb = jnp.asarray(np.asarray(best_t, np.float32)[None])
-        if self._icp_backend == "exact":
-            res = _exact_icp(full, self._tgt_dev, Rb, tb, params)
-        else:
-            res = _grid_icp(full, self.grid, self._tgt_dev, Rb, tb, params)
-        sse_full = float(np.asarray(res.sse)[0])
+        sse_full = self.score_full(best_R, best_t)
         h_full = max(1, int(round(n_full * (1.0 - self.p.trim_fraction))))
         mse_full = sse_full / h_full
         if self.p.trim_fraction > 0.0:
@@ -411,17 +422,29 @@ class GoIcpSolver:
             # ``bnb.fullcert.register_full_cert``, which also drives the
             # gap down to ε by adaptive subset refinement.
             return sse_full, mse_full, None
-        # gap = -inf means the frontier emptied (fully covered search):
-        # every region was pruned at ≥ best − ε, so the effective gap is 0
-        g = max(gap, 0.0) if math.isfinite(gap) else 0.0
-        # At CONVERGENCE both rules yield a bound and the tighter one is
-        # valid: the gap rule gives opt ≥ best − gap, and the threshold
-        # rule gives best ≤ ε with opt ≥ 0 ≥ best − ε — so opt ≥
-        # best − min(gap, ε).  (A budget-exhausted exit only has the gap
-        # form.)  Pruned regions were cut against the PRE-polish incumbent,
-        # and ``_full_polish`` may have accepted a pose up to +0.01·ε above
-        # it — the bound carries that acceptance slack too.
-        slack_g = min(g, self.sse_thresh) if converged else g
+        # The subset-optimum slack, by how the solve actually terminated:
+        # - gap = −inf (frontier AND leaves exhausted): every region was
+        #   pruned at ≥ best_then − ε with best_then ≥ best_final, so the
+        #   guarantee is opt ≥ best − ε — the slack is ε, NOT 0 (a raw
+        #   max(gap, 0) here would overclaim by ε — round-5 review fix);
+        # - best ≤ ε (the threshold rule fired, possibly alongside a large
+        #   gap): opt ≥ 0 ≥ best − ε, so the tighter min(gap, ε) is valid;
+        # - otherwise only the gap form holds: opt ≥ best − gap (covers
+        #   budget exhaustion AND the emptied-frontier-with-alive-leaf
+        #   case, where `converged` is force-set but the leaf's true min
+        #   may sit at its lb).
+        # ``_full_polish`` may have accepted a pose up to +0.01·ε above the
+        # pre-polish incumbent the pruning used — the bound carries that
+        # acceptance slack too.
+        if not math.isfinite(gap):
+            slack_g = self.sse_thresh
+        else:
+            g = max(gap, 0.0)
+            slack_g = (
+                min(g, self.sse_thresh)
+                if best_sse <= self.sse_thresh
+                else g
+            )
         sub_opt_lb = best_sse - slack_g - 0.01 * self.sse_thresh
         return sse_full, mse_full, float(
             max(sse_full - max(sub_opt_lb, 0.0), 0.0)
@@ -732,7 +755,7 @@ class GoIcpSolver:
 
         gap = best_sse - min(frontier.min_lb(), rot_lb_leaf)
         sse_full, mse_full, gap_full = self._full_cert(
-            best_R, best_t, best_sse, gap, converged=converged
+            best_R, best_t, best_sse, gap
         )
         wall = time.perf_counter() - t_start
         result = GoIcpResult(

@@ -508,7 +508,7 @@ class GoIcpSolverMultiHost(GoIcpSolver):
         # full-cloud certificate (deterministic, collective-free — every
         # process computes it from the exchange-identical incumbent)
         sse_full, mse_full, gap_full = self._full_cert(
-            best_R, best_t, best_sse, gap, converged=converged
+            best_R, best_t, best_sse, gap
         )
         return GoIcpResult(
             transform=RigidTransform(best_R, best_t),

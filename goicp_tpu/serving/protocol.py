@@ -176,26 +176,42 @@ def handle_request(service: RegistrationService, req: dict) -> dict | list:
                     out[i] = _error_json(sub, e)
             for (kind, _), idxs in lanes.items():
                 svc = parsed[idxs[0]][0]
-                if kind == "icp":
-                    results = svc.refine_batch(
-                        [parsed[i][1] for i in idxs],
-                        inits=[parsed[i][2] for i in idxs],
-                        **ov,
-                    )
-                elif kind == "goicp":
-                    results = svc.register_batch(
-                        [parsed[i][1] for i in idxs],
-                        inits=[parsed[i][2] for i in idxs],
-                        **ov,
-                    )
-                else:
-                    results = []
-                    for i in idxs:
-                        svc_i, src, init, m, iov = parsed[i]
-                        fn = svc_i.refine if m == "icp" else svc_i.register
-                        results.append(fn(src, init, **iov))
+                # per-LANE isolation: a lane dispatch that raises (device
+                # error, bad batch-level override) must error only its own
+                # items — the response stays one record per request, in
+                # order, instead of collapsing to a single error dict
+                try:
+                    if kind == "icp":
+                        results = svc.refine_batch(
+                            [parsed[i][1] for i in idxs],
+                            inits=[parsed[i][2] for i in idxs],
+                            **ov,
+                        )
+                    elif kind == "goicp":
+                        results = svc.register_batch(
+                            [parsed[i][1] for i in idxs],
+                            inits=[parsed[i][2] for i in idxs],
+                            **ov,
+                        )
+                    else:
+                        results = []
+                        for i in idxs:
+                            svc_i, src, init, m, iov = parsed[i]
+                            fn = (
+                                svc_i.refine if m == "icp" else svc_i.register
+                            )
+                            try:
+                                results.append(fn(src, init, **iov))
+                            except Exception as e:
+                                results.append(e)
+                except Exception as e:
+                    results = [e] * len(idxs)
                 for i, res in zip(idxs, results):
-                    out[i] = _result_json(subs[i], res)
+                    out[i] = (
+                        _error_json(subs[i], res)
+                        if isinstance(res, Exception)
+                        else _result_json(subs[i], res)
+                    )
             return out
         _validate_keys(req)
         svc = service.resolve(req.get("target"))

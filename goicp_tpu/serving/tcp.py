@@ -60,6 +60,12 @@ class Batcher(threading.Thread):
     def submit(self, req: dict) -> _Pending:
         p = _Pending(req)
         self.q.put(p)
+        # shutdown race: if stop() already fired, run()'s final drain may
+        # have exited before this put — refuse here so the handler thread
+        # never blocks forever on an event nothing will set (double-refuse
+        # with the drain is idempotent)
+        if self._stop.is_set() and not p.event.is_set():
+            self._refuse(p)
         return p
 
     def stop(self):
@@ -237,8 +243,12 @@ def serve_tcp(
                 supplied = req.get("auth") if isinstance(req, dict) else None
             except Exception:
                 supplied = None
+            # compare BYTES: compare_digest on str raises TypeError for
+            # non-ASCII input, which would break every handshake under a
+            # non-ASCII operator token (and close sockets without the
+            # promised error record)
             if isinstance(supplied, str) and hmac.compare_digest(
-                supplied, auth_token
+                supplied.encode(), auth_token.encode()
             ):
                 self._send({"ok": True, "auth": True})
                 return True

@@ -134,3 +134,46 @@ def test_fullcert_uncapped_passthrough(rng):
     assert res.converged and res.gap_full is not None
     assert res.gap_full <= 1e-4 * src.shape[0]
     assert res.sse_full == res.sse
+
+
+def test_full_cert_slack_ladder_is_sound(rng):
+    """Round-5 review fix: the subset-optimum slack must follow the
+    termination rule — an EMPTIED frontier (gap = −inf) only guarantees
+    opt ≥ best − ε (slack ε, never 0); the min(gap, ε) tightening applies
+    only when the threshold rule provably fired (best ≤ ε); otherwise the
+    raw gap form holds."""
+    src = (rng.random((80, 3)).astype(np.float32) - 0.5) * 0.6
+    Q = random_rotation(rng)
+    tgt = (src @ Q.T).astype(np.float32)
+    import dataclasses
+
+    from goicp_tpu.bnb import BnbParams, make_solver
+
+    p = BnbParams(
+        mse_threshold=1e-4, bound_points=40, bound_backend="exact",
+        grid_resolution=16, init_multistart=2, trans_span=0.5,
+    )
+    s = make_solver(src, tgt, p)
+    eps = s.sse_thresh
+    R, t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    sse_full = s.score_full(R, t)
+
+    # emptied frontier, best ABOVE the threshold: slack must be eps
+    best = 5.0 * eps
+    _, _, gap_inf = s._full_cert(R, t, best, float("-inf"))
+    expect = sse_full - max(best - 1.01 * eps, 0.0)
+    assert abs(gap_inf - expect) < 1e-6 * max(1.0, sse_full), (
+        gap_inf, expect,
+    )
+
+    # finite gap > eps with best > eps: the gap form (no min tightening)
+    g = 3.0 * eps
+    _, _, gap_g = s._full_cert(R, t, best, g)
+    expect = sse_full - max(best - g - 0.01 * eps, 0.0)
+    assert abs(gap_g - expect) < 1e-6 * max(1.0, sse_full)
+
+    # threshold rule (best <= eps): min(gap, eps) applies
+    best2 = 0.5 * eps
+    _, _, gap_t = s._full_cert(R, t, best2, 3.0 * eps)
+    expect = sse_full - max(best2 - 1.01 * eps, 0.0)
+    assert abs(gap_t - expect) < 1e-6 * max(1.0, sse_full)

@@ -701,3 +701,62 @@ def test_register_batch_plane_metric_rides_lockstep(service, rng):
         a = src @ np.asarray(res.transform.R).T + np.asarray(res.transform.t)
         b = src @ Q.T + t
         assert float(np.sqrt(np.mean(np.sum((a - b) ** 2, 1)))) < 5e-3
+
+
+def test_tcp_auth_non_ascii_token(service, rng):
+    """Round-5 review fix: non-ASCII tokens must authenticate (bytes
+    compare) and wrong tokens still get ONE error record + close."""
+    ready = threading.Event()
+    bound: list = []
+    token = "pässwörd-日本"
+    srv = threading.Thread(
+        target=serve_tcp,
+        kwargs=dict(service=service, port=0, window_s=0.01, ready=ready,
+                    bound=bound, auth_token=token),
+        daemon=True,
+    )
+    srv.start()
+    assert ready.wait(10)
+    port = bound[0]
+    src, Q, t = _query(service, rng, n=50)
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    f = s.makefile("rw", encoding="utf-8")
+    f.write(json.dumps({"auth": "wröng"}) + "\n")
+    f.flush()
+    r = json.loads(f.readline())
+    assert not r["ok"] and f.readline() == ""
+    s.close()
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    f = s.makefile("rw", encoding="utf-8")
+    f.write(json.dumps({"auth": token}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["auth"] is True
+    f.write(json.dumps({"id": 1, "points": src.tolist()}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["ok"]
+    f.write(json.dumps({"cmd": "shutdown"}) + "\n")
+    f.flush()
+    assert json.loads(f.readline())["shutdown"] is True
+    s.close()
+    srv.join(timeout=10)
+
+
+def test_batch_lane_failure_isolated_per_item(service, rng, monkeypatch):
+    """Round-5 review fix: a lane dispatch that RAISES must error only its
+    own items — the batch response stays one record per request."""
+    g1, g2 = _query(service, rng, n=60), _query(service, rng, n=60)
+
+    def boom(*a, **k):
+        raise RuntimeError("device fell over")
+
+    monkeypatch.setattr(type(service), "register_batch", boom)
+    resp = handle_request(service, {"batch": [
+        {"id": 0, "points": g1[0].tolist()},                       # goicp lane
+        {"id": 1, "points": g2[0].tolist(), "mode": "icp",
+         "init": {"R": g2[1].tolist(), "t": g2[2].tolist()}},      # icp lane
+    ]})
+    assert [r["id"] for r in resp] == [0, 1]
+    assert not resp[0]["ok"] and "device fell over" in resp[0]["error"]
+    assert resp[1]["ok"] and resp[1]["converged"]                  # isolated
