@@ -159,8 +159,18 @@ def run_icp_mode(cfg: Config, src, tgt, bus: ProgressBus | None = None):
 
 def run_goicp_mode(cfg: Config, src, tgt, bus: ProgressBus):
     params = bnb_params_from_config(cfg)
-    solver = make_solver(src, tgt, params, progress=bus)
-    res: GoIcpResult = solver.run()
+    if cfg.tpu.full_cert:
+        # [tpu] full_cert: certify the FULL cloud to ε by adaptive subset
+        # refinement (docs/ALGORITHM.md "Full-cloud certificates")
+        from goicp_tpu.bnb import register_full_cert
+
+        res: GoIcpResult = register_full_cert(
+            src, tgt, params, progress=bus,
+            target_gap_mse=cfg.tpu.full_cert_mse or None,
+        )
+    else:
+        solver = make_solver(src, tgt, params, progress=bus)
+        res = solver.run()
     return {
         "R": np.asarray(res.transform.R),
         "t": np.asarray(res.transform.t),

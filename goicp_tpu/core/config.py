@@ -112,6 +112,13 @@ class TpuConfig:
     snapshot_every_s: float = 0.0   # live PLY snapshots while solving, at most
                                     # one per this many seconds (0 = off) — the
                                     # headless render loop (goicp_kernel.cu:152-206)
+    full_cert: bool = False         # drive the FULL-cloud certificate to ε
+                                    # by adaptive subset refinement
+                                    # (bnb.fullcert.register_full_cert);
+                                    # off = one bound_points-capped solve
+                                    # with the plain gap transfer
+    full_cert_mse: float = 0.0      # full-cloud per-point gap target
+                                    # (0 = the scenario's mse_threshold)
     snapshot_png: bool = False      # also render a PNG per snapshot
     snapshot_html: bool = True      # maintain snapshots/live.html — a self-
                                     # reloading live view of the running solve

@@ -171,3 +171,25 @@ def test_metrics_artifact(synth_scenario, tmp_path):
     assert mpath.exists()
     doc = json.loads(mpath.read_text())
     assert any(k.startswith("time_s/") for k in doc)
+
+
+def test_cli_full_cert_knob(synth_scenario, tmp_path):
+    """[tpu] full_cert routes mode-4 solves through the adaptive full-cloud
+    certification loop; the output TOML carries gap_full ≤ the target."""
+    cfg, (R, t, src, tgt) = synth_scenario(
+        4, extra="full_cert = true\nse3_pop = 64\n"
+    )
+    # cap the solve subset so the certificate actually transfers
+    text = cfg.read_text().replace(
+        "[tpu]", "[tpu]\nbound_backend = \"exact\"\n"
+    )
+    cfg.write_text(text)
+    import goicp_tpu.cli as cli_mod
+
+    out = run_scenario(str(cfg), output_dir=str(tmp_path / "out"))
+    assert out["converged"]
+    _check(out, R, t, src, tgt)
+    # uncapped solve (300 pts < bound_points): passthrough fills the
+    # certificate fields directly
+    assert out["gap_full"] is not None
+    assert out["gap_full"] <= 1e-5 * src.shape[0] + 1e-9
