@@ -75,6 +75,7 @@ class RegistrationService:
         self.bucket_shapes = bool(bucket_shapes)
         self.icp_cache_size = max(1, int(icp_cache_size))
         self.log = get_logger()
+        self.escalations = 0            # tracking-loss auto-escalations served
         self._lock = threading.Lock()   # one device, one solve at a time
         # separate (reentrant — _icp_setup calls _normals) lock for the
         # host-side caches: library callers may hit refine()/_icp_setup
@@ -350,6 +351,7 @@ class RegistrationService:
         if not idxs:
             return results
         ov = {k: v for k, v in overrides.items() if k != "escalate_mse"}
+        self.escalations += len(idxs)
         solved = self.register_batch(
             [sources[i] for i in idxs],
             inits=[results[i].transform for i in idxs],
@@ -521,6 +523,7 @@ class RegistrationService:
             "target_points": int(self.tgt.shape[0]),
             "grid_resolution": int(self.grid.values.shape[0]),
             "queries_served": self.queries,
+            "escalations_served": self.escalations,
             "max_points": self.max_points,
             "bucket_shapes": self.bucket_shapes,
             "devices": [str(d) for d in jax.devices()],

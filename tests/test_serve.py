@@ -552,6 +552,8 @@ def test_refine_escalates_on_tracking_loss(service, rng):
     # no threshold set: the old honest-failure contract is unchanged
     res3 = service.refine(src, far)
     assert not res3.converged and not res3.escalated
+    # observability: escalations surface in the info record
+    assert service.info()["escalations_served"] >= 1
 
 
 def test_refine_batch_escalation_one_extra_lockstep(service, rng):
