@@ -78,7 +78,19 @@ class BnbParams:
                                      # cloud (deterministic subset), only the
                                      # refine_top_k best (+ identity/caller
                                      # seeds) run at full resolution.  0 = off
-    refine_top_k: int = 8            # always ICP-refine the k best-ub cands
+    refine_top_k: int = 8            # ICP-refine up to k best-ub cands/round
+    refine_max_iter: int = 32        # iteration cap for the IN-ROUND refine
+                                     # tail only (initial multistart and the
+                                     # final full polish keep icp_max_iter).
+                                     # In-round refines exist to discover
+                                     # incumbents, not to polish: on noisy/
+                                     # trimmed pairs rel_tol takes 40-80
+                                     # iterations to fire and the trimmed
+                                     # top_k inside each iteration costs
+                                     # ~1.2 ms — measured 2026-08-21: the
+                                     # refine tail was 93% of every trimmed-
+                                     # certification round (860 ms/round vs
+                                     # 47 ms of bound kernel)
     trans_span: float = 0.5          # root translation half-side (jly_goicp.cpp:50-53)
     trans_center: tuple = (0.0, 0.0, 0.0)
     icp_refine_factor: float = 2.0   # ≙ fgoicp.cpp:75

@@ -14,8 +14,9 @@ rebalancing), injected through constructor flags and small callbacks.
 Behavioral knobs (each preserves its engine's exact semantics):
 
 - ``bucket_base``: first job-count bucket (single-host 2048, multi-host 256).
-- ``tight_ang``: jitted center-aware cube angle bound, chained into the
-  dispatch (single-host, non-mesh only — mesh/multi-host keep host angles).
+- ``tight_ang``: center-aware cube angle bound, computed IN-PROGRAM from
+  (centers, spans) shipped with the round (single-host, non-mesh only —
+  mesh/multi-host keep host angles).
 - ``prune_on_best``: prune both frontiers the moment ``absorb`` improves the
   incumbent (single-host); the multi-host engine prunes after its lockstep
   exchange instead, so a stale prune never races the exchanged incumbent.
@@ -52,7 +53,7 @@ class Se3RoundDriver:
         M_cap: int,
         bucket_base: int,
         mesh=None,
-        tight_ang: Optional[Callable] = None,
+        tight_ang: bool = False,
         prune_on_best: bool = False,
         diag: bool = False,
         sharded_pad_full: bool = False,
@@ -180,6 +181,15 @@ class Se3RoundDriver:
         level; stale by up to pipeline_depth rounds — conservative)."""
         return jnp.float32(self.best_sse - self.s.sse_thresh)
 
+    def refine_gate(self):
+        """ICP-trigger level at dispatch time: only round candidates with
+        ``ub < icp_refine_factor·best`` iterate the refine tail (≙ the
+        relaxed trigger ``ub < best_sse*2``, ``fgoicp.cpp:75``).  Staleness
+        (pipeline_depth rounds) only ever WIDENS the gate — the incumbent is
+        monotone — so a stale gate costs extra refine work, never a missed
+        candidate relative to the fresh gate."""
+        return jnp.float32(self.s.p.icp_refine_factor * self.best_sse)
+
     # -- dispatch ------------------------------------------------------------
 
     def dispatch_T(self, round_idx: int = 0) -> dict:
@@ -242,14 +252,22 @@ class Se3RoundDriver:
         else:
             from goicp_tpu.bnb.se3 import se3_round_grouped
 
+            # tight bound: ship (centers, spans) and compute the angle
+            # IN-PROGRAM (tuple form of max_angle — see se3_round docs; a
+            # separate chained jit call per round serialized the remote-TPU
+            # dispatch queue)
             ang_in = (
-                self.tight_ang(
-                    np.concatenate(
-                        [pay[:, 0:3], np.zeros((padg, 3), np.float32)]
+                (
+                    jnp.asarray(
+                        np.concatenate(
+                            [pay[:, 0:3], np.zeros((padg, 3), np.float32)]
+                        )
                     ),
-                    np.concatenate([pay[:, 3], np.zeros(padg, np.float32)]),
+                    jnp.asarray(
+                        np.concatenate([pay[:, 3], np.zeros(padg, np.float32)])
+                    ),
                 )
-                if self.tight_ang is not None
+                if self.tight_ang
                 else jnp.asarray(ang_pad)
             )
             out = se3_round_grouped(
@@ -273,6 +291,7 @@ class Se3RoundDriver:
                 refine_k=p.refine_top_k,
                 icp_params=s._icp_params_round,
                 icp_backend=s._icp_backend,
+                refine_gate=self.refine_gate(),
             )
         return {
             "parts": [(child, np.zeros(C, bool),
@@ -373,13 +392,17 @@ class Se3RoundDriver:
         from goicp_tpu.bnb.se3 import se3_round
 
         ang_in = (
-            self.tight_ang(
-                np.concatenate(
-                    [child[:, 0:3], np.zeros((padn, 3), np.float32)]
+            (
+                jnp.asarray(
+                    np.concatenate(
+                        [child[:, 0:3], np.zeros((padn, 3), np.float32)]
+                    )
                 ),
-                np.concatenate([child[:, 3], np.zeros(padn, np.float32)]),
+                jnp.asarray(
+                    np.concatenate([child[:, 3], np.zeros(padn, np.float32)])
+                ),
             )
-            if self.tight_ang is not None
+            if self.tight_ang
             else jnp.asarray(np.concatenate([ang_c, np.zeros(padn, np.float32)]))
         )
         out = se3_round(
@@ -409,6 +432,7 @@ class Se3RoundDriver:
             refine_k=p.refine_top_k,
             icp_params=s._icp_params_round,
             icp_backend=s._icp_backend,
+            refine_gate=self.refine_gate(),
         )
         return out, R_c, cap
 
@@ -440,6 +464,7 @@ class Se3RoundDriver:
             jnp.asarray(t_s),
             jnp.asarray(mask),
             s._src_dev,
+            self.refine_gate(),
         )
 
     # -- absorb --------------------------------------------------------------

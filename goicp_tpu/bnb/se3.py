@@ -109,20 +109,19 @@ class GoIcpSolverSE3(GoIcpSolver):
             M_cap = -(-M_cap // n_c) * n_c
             mesh = (sharded_round, src_pad_dev, norms_pad_dev, n_c)
 
-        # center-aware rotation-cube angle bound, computed on device and
-        # chained (async) into the round dispatch — strictly tighter than
-        # the host √3·σ chordal form off-origin, so the certification tree
-        # shrinks.  Mesh rounds keep host angles (numpy padding/repeat on a
-        # device array would force a sync pull).
-        tight_ang = None
-        if (
+        # center-aware rotation-cube angle bound, computed INSIDE the fused
+        # round from (centers, spans) — strictly tighter than the host √3·σ
+        # chordal form off-origin, so the certification tree shrinks.  It
+        # used to be a separate chained jit dispatch per round; through the
+        # remote-TPU transport that extra in-flight program serialized the
+        # whole round queue (measured 2026-08-21: 47.4 s → 4.9 s on the
+        # trimmed-cert protocol with it off; in-program it costs nothing).
+        # Mesh rounds keep host angles (the sharded round has no tuple path).
+        tight_ang = (
             p.tight_rot_bound
             and p.rotation_param == "axis_angle"
             and mesh is None
-        ):
-            from goicp_tpu.geo.rotation import axis_angle_cube_max_angle
-
-            tight_ang = jax.jit(axis_angle_cube_max_angle)
+        )
 
         from goicp_tpu.bnb.rounds import Se3RoundDriver
 

@@ -311,6 +311,7 @@ def se3_round(
     refine_k: int,
     icp_params,
     icp_backend: str,
+    refine_gate=None,
 ):
     """One FUSED BnB round: bound evaluation + top-k batched ICP refinement
     in a single dispatch (one host↔device round trip per outer round —
@@ -320,10 +321,27 @@ def se3_round(
     nodes from partial lower-bound sums (backend "screen"); other backends
     ignore it.  ``tgt_normals [Nt,3]`` (or None) feed the refine tail when
     ``icp_params.metric == "plane"`` — bounds stay point-metric either way
-    (the ε-certificate is a point-SSE statement).  Returns ``(ub, lb,
-    R_ref, t_ref, sse_ref)`` where the last three are the ICP-refined poses
-    of the ``refine_k`` best-ub nodes.
+    (the ε-certificate is a point-SSE statement).  ``refine_gate`` (traced
+    scalar, or None = ungated): only top-k candidates with ``ub <
+    refine_gate`` actually iterate ICP — the reference's relaxed trigger
+    ``ub < 2·best_sse`` (``fgoicp.cpp:75``), which the flat engine
+    previously ignored, paying a full batched refine EVERY round.  Returns
+    ``(ub, lb, R_ref, t_ref, sse_ref)`` where the last three are the
+    ICP-refined poses of the ``refine_k`` best-ub nodes (gated-off poses
+    report ``sse=inf``).
+
+    ``max_angle`` is either the per-node bound angles ``[M]`` or a
+    ``(centers [M,3], spans [M])`` tuple — the tuple form computes the
+    center-aware tight cube angle bound IN-PROGRAM.  (The tight bound used
+    to be a separate chained jit dispatch per round; through the remote-TPU
+    transport that extra program serialized every round — measured
+    2026-08-21 on the trimmed-cert protocol: 47.4 s → 4.9 s with it off.
+    In-program it costs one [M]-shaped epilogue, nothing.)
     """
+    if isinstance(max_angle, tuple):
+        from goicp_tpu.geo.rotation import axis_angle_cube_max_angle
+
+        max_angle = axis_angle_cube_max_angle(*max_angle)
     if backend == "screen":
         ub, lb = evaluate_se3_nodes_screened(
             src, norms, tgt, slack, thresh, R, max_angle, t_c, t_span, mask,
@@ -340,21 +358,24 @@ def se3_round(
         )
     return _refine_tail(
         ub, lb, R, t_c, src, grid, tgt, tgt_normals, refine_k, icp_params,
-        icp_backend,
+        icp_backend, refine_gate,
     )
 
 
 def _refine_tail(ub, lb, R, t_c, src, grid, tgt, tgt_normals, refine_k,
-                 icp_params, icp_backend):
+                 icp_params, icp_backend, refine_gate=None):
     """Shared round tail: batched ICP on the ``refine_k`` best-ub nodes.
 
     ``tgt_normals`` (or None) make the in-round refinement plane-metric-
     capable (≙ the refiner it upgrades, ``icp3d.cu:140-172``); the reported
     sse stays point-to-point (run_icp contract), so incumbents and the
-    ε-certificate are metric-independent."""
+    ε-certificate are metric-independent.  ``refine_gate``: see
+    :func:`se3_round` — candidates at or above the gate (and padded inf-ub
+    slots) start inactive, so a round with nothing promising skips the ICP
+    while_loop entirely."""
     from goicp_tpu.icp import exact_correspondence, grid_correspondence, run_icp
 
-    _, top = jax.lax.top_k(-ub, refine_k)
+    neg_ub, top = jax.lax.top_k(-ub, refine_k)
     R0 = jnp.take(R, top, axis=0)
     t0 = jnp.take(t_c, top, axis=0)
     corr = (
@@ -362,7 +383,10 @@ def _refine_tail(ub, lb, R, t_c, src, grid, tgt, tgt_normals, refine_k,
         if icp_backend == "exact"
         else grid_correspondence(grid, tgt, normals=tgt_normals)
     )
-    res = run_icp(src, corr, RigidTransform(R0, t0), icp_params)
+    active0 = None if refine_gate is None else (-neg_ub < refine_gate)
+    res = run_icp(
+        src, corr, RigidTransform(R0, t0), icp_params, active0=active0
+    )
     return ub, lb, res.transform.R, res.transform.t, res.sse, res.iters
 
 
@@ -385,12 +409,19 @@ def se3_round_grouped(
     refine_k: int,
     icp_params,
     icp_backend: str,
+    refine_gate=None,
 ):
     """One fused BnB round over TRANSLATION-SPLIT groups: ``G`` parent
     rotations × 8 translation octant children each (``R [G,3,3]``,
     ``t8 [G,8,3]``).  On the mxu/screen backends the grouped kernel
     amortizes the rotation's distance plane across the 8 siblings; other
-    backends flatten to per-node jobs.  Node order is group-major."""
+    backends flatten to per-node jobs.  Node order is group-major.
+    ``refine_gate`` and the ``max_angle`` tuple form: see
+    :func:`se3_round` (here the tuple is per-group ``([G,3], [G])``)."""
+    if isinstance(max_angle, tuple):
+        from goicp_tpu.geo.rotation import axis_angle_cube_max_angle
+
+        max_angle = axis_angle_cube_max_angle(*max_angle)
     G = R.shape[0]
     R_flat = jnp.repeat(R, 8, axis=0)                  # [8G,3,3]
     t_flat = t8.reshape(8 * G, 3)
@@ -420,7 +451,7 @@ def se3_round_grouped(
         )
     return _refine_tail(
         ub, lb, R_flat, t_flat, src, grid, tgt, tgt_normals, refine_k,
-        icp_params, icp_backend,
+        icp_params, icp_backend, refine_gate,
     )
 
 

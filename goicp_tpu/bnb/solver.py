@@ -250,9 +250,16 @@ class GoIcpSolver:
         # mesh-sharded round (dist/se3.py shard_map, no normals plumbing)
         # keeps point-to-point — both refine directions are sound (run_icp
         # reports the best point-SSE pose either way)
-        self._icp_params_round = self._icp_params
+        # in-round refines are incumbent DISCOVERY, capped at
+        # refine_max_iter (the gate to fire them at all lives in the round
+        # tail: ub < icp_refine_factor·best, ≙ fgoicp.cpp:75); the final
+        # polish below re-runs at full icp_max_iter strength
+        self._icp_params_round = dataclasses.replace(
+            self._icp_params,
+            max_iter=min(params.icp_max_iter, params.refine_max_iter),
+        )
         self._icp_params_round_mesh = dataclasses.replace(
-            self._icp_params, metric="point"
+            self._icp_params_round, metric="point"
         )
         self._src_dev = jnp.asarray(self.src)
         self._tgt_dev = jnp.asarray(self.tgt)

@@ -253,7 +253,7 @@ def make_sharded_se3_round(
     )
 
     def round_fn(src_pad, norms_pad, grid, tgt, slack, thresh,
-                 R, max_angle, t_c, t_span, mask, src):
+                 R, max_angle, t_c, t_span, mask, src, refine_gate=None):
         from goicp_tpu.icp import (
             exact_correspondence,
             grid_correspondence,
@@ -279,7 +279,7 @@ def make_sharded_se3_round(
         )
         # global (cross-shard) incumbent candidates: XLA partitions the
         # top_k/gather over the 'cubes' sharding — the incumbent all-reduce
-        _, top = jax.lax.top_k(-ub, refine_k)
+        neg_ub, top = jax.lax.top_k(-ub, refine_k)
         R0 = jnp.take(R, top, axis=0)
         t0 = jnp.take(t_c, top, axis=0)
         corr = (
@@ -287,7 +287,12 @@ def make_sharded_se3_round(
             if icp_backend == "exact"
             else grid_correspondence(grid, tgt)
         )
-        res = run_icp(src, corr, RigidTransform(R0, t0), icp_params)
+        # ub < refine_factor·best gate (≙ fgoicp.cpp:75) — same contract as
+        # bnb.se3_eval._refine_tail; None = refine every top-k candidate
+        active0 = None if refine_gate is None else (-neg_ub < refine_gate)
+        res = run_icp(
+            src, corr, RigidTransform(R0, t0), icp_params, active0=active0
+        )
         return ub, lb, res.transform.R, res.transform.t, res.sse, res.iters
 
     return jax.jit(round_fn)

@@ -199,6 +199,7 @@ def run_icp(
     init: RigidTransform,
     params: IcpParams = IcpParams(),
     point_weights=None,
+    active0=None,
 ) -> IcpResult:
     """Refine a batch of poses with ICP until convergence or ``max_iter``.
 
@@ -207,6 +208,11 @@ def run_icp(
     ``point_weights``: optional ``[N]`` (or broadcastable) per-point weights
     — 0 entries are excluded from both the Procrustes solve and the SSE
     (used for padded clouds in multi-pair batching).
+    ``active0``: optional ``[B]`` bool — poses starting False are never
+    iterated and report ``sse=inf``/``iters=0`` (the BnB round tail's
+    ``ub < refine_factor·best`` gate, ≙ the relaxed ICP trigger
+    ``fgoicp.cpp:75``; when ALL poses are inactive the while_loop exits on
+    its first condition check, so a fully-gated round pays ~nothing).
 
     Per-pose convergence: relative SSE improvement below ``rel_tol``
     (≙ ``icp3d.cu:95``: ``last_sse - sse < tol * sse``); converged poses stop
@@ -317,12 +323,17 @@ def run_icp(
         iters = iters + active.astype(jnp.int32)
         return T_best, sse_best, gate_best, T_cur, still, it + 1, iters
 
+    act0 = (
+        jnp.ones((B,), bool)
+        if active0 is None
+        else jnp.broadcast_to(jnp.asarray(active0, bool), (B,))
+    )
     state = (
         T0,
         jnp.full((B,), jnp.inf, jnp.float32),
         jnp.full((B,), jnp.inf, jnp.float32),
         T0,
-        jnp.ones((B,), bool),
+        act0,
         jnp.asarray(0, jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )

@@ -13,6 +13,7 @@ bucketing, depth-pipelining — see ``_register_pairs_lockstep``).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Sequence, Tuple
 
@@ -120,8 +121,8 @@ def _bounds_one_pair_mxu(src, w, norms, tgt, slack, R, ang, t_c, t_s, mask,
     jax.jit, static_argnames=("refine_k", "icp_params", "trim", "use_kernel")
 )
 def _pairs_round(srcs, wts, norms, tgts, tnrm, slack, R, ang, t_c, t_s, mask,
-                 h, *, refine_k: int, icp_params, trim: bool = False,
-                 use_kernel: bool = False):
+                 h, refine_gate=None, *, refine_k: int, icp_params,
+                 trim: bool = False, use_kernel: bool = False):
     """ONE device dispatch advancing every pair: bound evaluation for all
     ``[P, M]`` jobs + top-k batched ICP refinement per pair (the lockstep
     form of ``bnb.se3.se3_round``).  ``h [P]``: per-pair inlier counts
@@ -129,6 +130,12 @@ def _pairs_round(srcs, wts, norms, tgts, tnrm, slack, R, ang, t_c, t_s, mask,
     target normals — the refine tail descends the plane metric when
     ``icp_params.metric == "plane"`` while bounds/incumbents stay
     point-SSE (the run_icp contract).
+
+    ``refine_gate [P]`` (or None = ungated): per-pair ICP trigger — only
+    top-k candidates with ``ub < refine_gate[p]`` iterate the refine tail
+    (≙ the relaxed trigger ``ub < 2·best_sse``, ``fgoicp.cpp:75``, per
+    pair).  Also keeps inactive pairs (all-False mask → inf ubs) from
+    burning refine iterations on their padded identity poses.
 
     ``use_kernel`` (single-chip TPU, set by the driver): the per-pair
     bounds run the fused Pallas kernel sequentially over the pair axis
@@ -154,23 +161,26 @@ def _pairs_round(srcs, wts, norms, tgts, tnrm, slack, R, ang, t_c, t_s, mask,
             in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0),
         )(srcs, wts, norms, tgts, slack, R, ang, t_c, t_s, mask, h)
 
-    def refine_one(src, w, tgt, ub_p, R_p, t_p, nrm=None):
-        _, top = jax.lax.top_k(-ub_p, refine_k)
+    if refine_gate is None:
+        refine_gate = jnp.full((srcs.shape[0],), jnp.inf, jnp.float32)
+
+    def refine_one(src, w, tgt, ub_p, R_p, t_p, gate_p, nrm=None):
+        neg_ub, top = jax.lax.top_k(-ub_p, refine_k)
         R0 = jnp.take(R_p, top, axis=0)
         t0 = jnp.take(t_p, top, axis=0)
         res = run_icp(
             src, _pair_corr(tgt, nrm), RigidTransform(R0, t0), icp_params,
-            point_weights=w,
+            point_weights=w, active0=(-neg_ub < gate_p),
         )
         return res.transform.R, res.transform.t, res.sse, res.iters
 
     if tnrm is None:
         R_ref, t_ref, sse_ref, it_ref = jax.vmap(refine_one)(
-            srcs, wts, tgts, ub, R, t_c
+            srcs, wts, tgts, ub, R, t_c, refine_gate
         )
     else:
         R_ref, t_ref, sse_ref, it_ref = jax.vmap(refine_one)(
-            srcs, wts, tgts, ub, R, t_c, tnrm
+            srcs, wts, tgts, ub, R, t_c, refine_gate, tnrm
         )
     return ub, lb, R_ref, t_ref, sse_ref, it_ref
 
@@ -225,6 +235,13 @@ def _register_pairs_lockstep(
     icp_params = IcpParams(
         max_iter=p.icp_max_iter, rel_tol=p.icp_rel_tol,
         trim_fraction=p.trim_fraction, metric=p.icp_metric,
+    )
+    # in-round refines are incumbent discovery: capped at refine_max_iter
+    # and gated per pair at icp_refine_factor·best (same policy as
+    # bnb.rounds — the multistart above and any final polish keep the
+    # full-strength icp_params)
+    icp_params_round = dataclasses.replace(
+        icp_params, max_iter=min(p.icp_max_iter, p.refine_max_iter)
     )
     nrm_pad = None
     if p.icp_metric == "plane":
@@ -468,7 +485,8 @@ def _register_pairs_lockstep(
             srcs_d, wts_d, norms_d, tgts_d, tnrm_d, slack_d,
             place(R_all), place(ang_all), place(t_all), place(ts_all),
             place(mask_all), h_d,
-            refine_k=p.refine_top_k, icp_params=icp_params, trim=trim,
+            place((p.icp_refine_factor * best_sse).astype(np.float32)),
+            refine_k=p.refine_top_k, icp_params=icp_params_round, trim=trim,
             use_kernel=use_kernel,
         )
         return {"childs": childs, "R_all": R_all, "active": active,
